@@ -1,0 +1,381 @@
+"""TPU-native sparse voxel convolution engine.
+
+Replaces MinkowskiEngine (the reference L2 network's sparse-conv backend,
+models/model_v2.py:4,21-271) with a design XLA can tile onto the MXU:
+
+- Coordinates are non-negative integer voxels (PCGC grids: offset 512, scale
+  256/448 — simple_raw_render.py:73-77), packed into one int32 code
+  ``(x << 20) | (y << 10) | z`` (grid <= 1024 per axis) and kept SORTED. A
+  sorted code list is the hash table: neighbor lookup = binary search
+  (jnp.searchsorted) + equality check.
+- A ``kernel map`` is a (N, K) int32 gather table built once per coordinate
+  set and reused by every convolution at that level (the reference network
+  runs 3 InceptionResNet blocks + 2 convs per level on the same coords).
+- conv k3s1: for each of 27 offsets, gather neighbor features and accumulate
+  ``feat @ W_o`` — 27 dense (N, Cin)x(Cin, Cout) matmuls, never a 27x
+  materialized im2col.
+- downsample conv k2s2 (model_v2.py:77-121): output coords = unique parent
+  voxels (coord >> 1); gather the 8 children per parent.
+- generative transposed conv k2s2 (MinkowskiGenerativeConvolutionTranspose
+  targeting the encoder's coordinate_map_key, model_v2.py:137-220): output
+  coordinate set is the CACHED finer-level list; each output voxel gathers
+  its unique parent and selects the weight by its octant (coord & 1 bits).
+- everything is static-shape: each level carries a padded capacity and a
+  valid count; padding rows are zero-features with sentinel codes that sort
+  to the end.
+
+Batch handling: one ``SparseGrid`` per batch item, vmap-able since every op
+is static-shape. (MinkowskiEngine folds batch into a 4th coordinate; keeping
+it as a leading axis is the vmap-native equivalent.)
+"""
+
+from __future__ import annotations
+
+import typing as T
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from . import segment
+
+GRID_BITS = 10  # coordinates < 1024 per axis
+GRID_MAX = 1 << GRID_BITS
+SENTINEL = jnp.iinfo(jnp.int32).max  # sorts to the end
+
+
+def pack_coords(coords: jnp.ndarray) -> jnp.ndarray:
+    """(N, 3) int -> (N,) int32 lexicographic code."""
+    c = coords.astype(jnp.int32)
+    return (c[:, 0] << (2 * GRID_BITS)) | (c[:, 1] << GRID_BITS) | c[:, 2]
+
+
+def unpack_coords(codes: jnp.ndarray) -> jnp.ndarray:
+    mask = GRID_MAX - 1
+    x = (codes >> (2 * GRID_BITS)) & mask
+    y = (codes >> GRID_BITS) & mask
+    z = codes & mask
+    return jnp.stack([x, y, z], axis=-1)
+
+
+@flax.struct.dataclass
+class SparseGrid:
+    """A sorted sparse voxel tensor at one resolution level.
+
+    coords are NORMALIZED by the level stride (so kernel offsets are always
+    unit steps; the world stride is tracked separately).
+    """
+
+    codes: jnp.ndarray  # (Nmax,) int32 sorted ascending, SENTINEL padding
+    feats: jnp.ndarray  # (Nmax, C) float, zero padding
+    num: jnp.ndarray  # () int32 valid count
+    stride: int = flax.struct.field(pytree_node=False, default=1)
+
+    @property
+    def capacity(self) -> int:
+        return self.codes.shape[0]
+
+    @property
+    def valid(self) -> jnp.ndarray:
+        return jnp.arange(self.capacity) < self.num
+
+    def coords(self) -> jnp.ndarray:
+        return unpack_coords(jnp.where(self.valid, self.codes, 0))
+
+    def world_coords(self) -> jnp.ndarray:
+        """Coordinates in the original (stride-1) grid units."""
+        return self.coords() * self.stride
+
+
+# --------------------------------------------------------------------------
+# construction / quantization
+# --------------------------------------------------------------------------
+
+
+def quantize_average(
+    coords_f: jnp.ndarray,  # (N, 3) float, will be rounded
+    feats: jnp.ndarray,  # (N, C)
+    valid: T.Optional[jnp.ndarray] = None,  # (N,)
+    capacity: T.Optional[int] = None,
+) -> SparseGrid:
+    """Round to integer voxels and average features of duplicates.
+
+    Equivalent of ME.utils.sparse_collate + SparseTensor with
+    UNWEIGHTED_AVERAGE quantization (simple_raw_render.py:335-338). ME floors
+    float coordinates; the reference feeds already-integer (or
+    round-intended) grids, and its quantization-offset features use
+    ``xyz - round(xyz)`` — we round, matching that intent.
+    """
+    n = coords_f.shape[0]
+    capacity = capacity or n
+    coords = jnp.clip(jnp.round(coords_f), 0, GRID_MAX - 1).astype(jnp.int32)
+    codes = pack_coords(coords)
+    if valid is not None:
+        codes = jnp.where(valid.astype(bool), codes, SENTINEL)
+
+    order = jnp.argsort(codes)
+    sc = codes[order]
+    sf = feats[order]
+    isnew = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32), (sc[1:] != sc[:-1]).astype(jnp.int32)]
+    )
+    isnew = jnp.where(sc == SENTINEL, 0, isnew)
+    seg = jnp.cumsum(isnew) - 1  # unique slot per sorted element; -1 for lead pad
+    seg = jnp.clip(seg, 0, capacity - 1)
+    n_unique = jnp.maximum(jnp.max(jnp.where(sc == SENTINEL, -1, seg)) + 1, 0)
+
+    ok = (sc != SENTINEL).astype(sf.dtype)[:, None]
+    fsum = segment.segment_sum(sf * ok, seg, capacity)
+    cnt = segment.segment_sum(ok[:, 0], seg, capacity)
+    fmean = fsum / jnp.maximum(cnt, 1.0)[:, None]
+
+    out_codes = jnp.full((capacity,), SENTINEL, jnp.int32)
+    out_codes = out_codes.at[seg].set(jnp.where(sc == SENTINEL, SENTINEL, sc))
+    slot_valid = jnp.arange(capacity) < n_unique
+    return SparseGrid(
+        codes=jnp.where(slot_valid, out_codes, SENTINEL),
+        feats=fmean * slot_valid[:, None],
+        num=n_unique.astype(jnp.int32),
+        stride=1,
+    )
+
+
+# --------------------------------------------------------------------------
+# kernel maps
+# --------------------------------------------------------------------------
+
+
+def _offsets_cube(k: int) -> jnp.ndarray:
+    """K³ integer offsets, ME HYPER_CUBE order: axis-0 fastest.
+
+    MinkowskiEngine enumerates kernel regions with the FIRST coordinate
+    varying fastest; for k=3 the offsets per axis follow 0, 1, -1 pattern
+    ME uses for odd kernels ([0, 1, 2] - k//2 order is 0,1,-1... ME's
+    RegionIterator yields offsets in order (-1, 0, 1) after centering for
+    odd kernels and (0, 1) for even kernels). We fix: odd kernels use
+    (-(k//2) .. k//2) ascending; even kernels use (0 .. k-1). The checkpoint
+    converter permutes torch weights into this order.
+    """
+    if k % 2 == 1:
+        rng = jnp.arange(-(k // 2), k // 2 + 1)
+    else:
+        rng = jnp.arange(0, k)
+    # first axis fastest (ME convention)
+    ox = jnp.tile(rng, k * k)
+    oy = jnp.tile(jnp.repeat(rng, k), k)
+    oz = jnp.repeat(rng, k * k)
+    return jnp.stack([ox, oy, oz], axis=-1)  # (k³, 3) with x fastest
+
+
+def lookup(codes_sorted: jnp.ndarray, num: jnp.ndarray, queries: jnp.ndarray):
+    """Find query codes in a sorted code list.
+
+    Returns (idx, found): idx in [0, capacity), found bool. Misses get
+    idx == capacity (caller pads feature rows with a zero row at idx
+    capacity).
+    """
+    cap = codes_sorted.shape[0]
+    pos = jnp.searchsorted(codes_sorted, queries)
+    pos_c = jnp.clip(pos, 0, cap - 1)
+    found = (codes_sorted[pos_c] == queries) & (pos_c < num) & (queries != SENTINEL)
+    return jnp.where(found, pos_c, cap), found
+
+
+def build_kernel_map(grid: SparseGrid, kernel_size: int) -> jnp.ndarray:
+    """(Nmax, K³) gather indices into grid.feats (misses -> capacity).
+
+    Built once per coordinate set; shared by every same-level conv
+    (the ME kernel-map analogue, but as a dense gather table).
+    """
+    offs = _offsets_cube(kernel_size)  # (K, 3)
+    coords = unpack_coords(grid.codes)  # sentinel rows give garbage; masked below
+    nbr = coords[:, None, :] + offs[None, :, :]  # (N, K, 3)
+    in_range = jnp.all((nbr >= 0) & (nbr < GRID_MAX), axis=-1)
+    q = jnp.where(in_range, pack_coords(nbr.reshape(-1, 3)).reshape(nbr.shape[:2]),
+                  SENTINEL)
+    q = jnp.where(grid.valid[:, None], q, SENTINEL)
+    idx, _ = lookup(grid.codes, grid.num, q.reshape(-1))
+    return idx.reshape(q.shape)  # (Nmax, K³)
+
+
+# --------------------------------------------------------------------------
+# convolutions
+# --------------------------------------------------------------------------
+
+
+def conv(
+    grid: SparseGrid,
+    kmap: jnp.ndarray,  # (Nmax, K³) from build_kernel_map
+    weight: jnp.ndarray,  # (K³, Cin, Cout)
+    bias: T.Optional[jnp.ndarray] = None,  # (Cout,)
+) -> jnp.ndarray:
+    """Stride-1 sparse conv on a fixed coordinate set. Returns (Nmax, Cout).
+
+    Per-offset gather + matmul accumulation — K³ MXU matmuls, HBM traffic
+    K³·N·Cin reads (no im2col materialization).
+    """
+    feats_pad = jnp.concatenate(
+        [grid.feats, jnp.zeros((1, grid.feats.shape[1]), grid.feats.dtype)], axis=0
+    )
+    kk = weight.shape[0]
+
+    def body(i, acc):
+        g = feats_pad[kmap[:, i]]  # (Nmax, Cin)
+        return acc + jnp.dot(g, weight[i], preferred_element_type=jnp.float32)
+
+    out = jax.lax.fori_loop(
+        0, kk, body, jnp.zeros((grid.capacity, weight.shape[2]), jnp.float32)
+    )
+    if bias is not None:
+        out = out + bias
+    return out * grid.valid[:, None]
+
+
+def downsample_coords(grid: SparseGrid, capacity: T.Optional[int] = None):
+    """Unique parent voxels (coord >> 1). Returns a SparseGrid skeleton
+    (codes/num only; feats zeros) at 2x stride, plus each input voxel's
+    parent slot and octant.
+
+    Returns (parent_grid, parent_slot (Nmax,), octant (Nmax,))."""
+    capacity = capacity or grid.capacity
+    coords = unpack_coords(grid.codes)
+    parent = coords >> 1
+    octant = (
+        (coords[:, 0] & 1) * 4 + (coords[:, 1] & 1) * 2 + (coords[:, 2] & 1)
+    ).astype(jnp.int32)
+    pcodes = jnp.where(grid.valid, pack_coords(parent), SENTINEL)
+
+    order = jnp.argsort(pcodes)
+    sc = pcodes[order]
+    isnew = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32), (sc[1:] != sc[:-1]).astype(jnp.int32)]
+    )
+    isnew = jnp.where(sc == SENTINEL, 0, isnew)
+    seg = jnp.cumsum(isnew) - 1
+    n_unique = jnp.maximum(jnp.max(jnp.where(sc == SENTINEL, -1, seg)) + 1, 0)
+    seg = jnp.clip(seg, 0, capacity - 1)
+
+    out_codes = jnp.full((capacity,), SENTINEL, jnp.int32)
+    out_codes = out_codes.at[seg].set(jnp.where(sc == SENTINEL, SENTINEL, sc))
+    slot_valid = jnp.arange(capacity) < n_unique
+    out_codes = jnp.where(slot_valid, out_codes, SENTINEL)
+
+    # map each input voxel -> its parent slot
+    parent_slot = jnp.zeros((grid.capacity,), jnp.int32)
+    parent_slot = parent_slot.at[order].set(seg)
+    parent_slot = jnp.where(grid.valid, parent_slot, capacity)
+
+    pgrid = SparseGrid(
+        codes=out_codes,
+        feats=jnp.zeros((capacity, grid.feats.shape[1]), grid.feats.dtype),
+        num=n_unique.astype(jnp.int32),
+        stride=grid.stride * 2,
+    )
+    return pgrid, parent_slot, octant
+
+
+def conv_down(
+    grid: SparseGrid,
+    parent_grid: SparseGrid,
+    parent_slot: jnp.ndarray,  # (Nmax,) from downsample_coords
+    octant: jnp.ndarray,  # (Nmax,)
+    weight: jnp.ndarray,  # (8, Cin, Cout) kernel-2 stride-2
+    bias: T.Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """k2s2 downsampling conv (model_v2.py:77-83 down0/1/2).
+
+    Each output (parent) voxel sums W_octant @ child_feat over its children.
+    Scatter formulation: transform every input by its own octant weight,
+    segment-sum into parents.
+    """
+    cin, cout = weight.shape[1], weight.shape[2]
+    # per-input transform: x_i @ W_{oct(i)} — do 8 masked matmuls
+    out_i = jnp.zeros((grid.capacity, cout), jnp.float32)
+    for o in range(8):
+        m = (octant == o) & grid.valid
+        out_i = out_i + jnp.where(
+            m[:, None],
+            jnp.dot(grid.feats, weight[o], preferred_element_type=jnp.float32),
+            0.0,
+        )
+    out = segment.segment_sum(out_i, parent_slot, parent_grid.capacity + 1)[:-1]
+    if bias is not None:
+        out = out + bias
+    return out * parent_grid.valid[:, None]
+
+
+def conv_up_generative(
+    coarse: SparseGrid,
+    fine_codes: jnp.ndarray,  # (Mmax,) target coords (cached encoder level)
+    fine_num: jnp.ndarray,
+    fine_stride: int,
+    weight: jnp.ndarray,  # (8, Cin, Cout)
+    bias: T.Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Generative transposed conv k2s2 restoring a cached coordinate set
+    (MinkowskiGenerativeConvolutionTranspose + coordinate_map_key target,
+    model_v2.py:137-143,212-220). Returns (Mmax, Cout) on the fine coords.
+    """
+    fine_valid = jnp.arange(fine_codes.shape[0]) < fine_num
+    fcoords = unpack_coords(fine_codes)
+    parent = fcoords >> 1
+    octant = (
+        (fcoords[:, 0] & 1) * 4 + (fcoords[:, 1] & 1) * 2 + (fcoords[:, 2] & 1)
+    ).astype(jnp.int32)
+    q = jnp.where(fine_valid, pack_coords(parent), SENTINEL)
+    pidx, _ = lookup(coarse.codes, coarse.num, q)
+    feats_pad = jnp.concatenate(
+        [coarse.feats, jnp.zeros((1, coarse.feats.shape[1]), coarse.feats.dtype)],
+        axis=0,
+    )
+    pf = feats_pad[pidx]  # (Mmax, Cin)
+    out = jnp.zeros((fine_codes.shape[0], weight.shape[2]), jnp.float32)
+    for o in range(8):
+        m = octant == o
+        out = out + jnp.where(
+            m[:, None],
+            jnp.dot(pf, weight[o], preferred_element_type=jnp.float32),
+            0.0,
+        )
+    if bias is not None:
+        out = out + bias
+    return out * fine_valid[:, None]
+
+
+def interpolate_trilinear(grid: SparseGrid, points: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear interpolation of sparse features at continuous points
+    (MinkowskiInterpolation equivalent, model_v2.py:270). points in the
+    grid's normalized coordinates. Returns (P, C)."""
+    base = jnp.floor(points).astype(jnp.int32)
+    frac = points - base
+    feats_pad = jnp.concatenate(
+        [grid.feats, jnp.zeros((1, grid.feats.shape[1]), grid.feats.dtype)], axis=0
+    )
+    out = jnp.zeros((points.shape[0], grid.feats.shape[1]), jnp.float32)
+    for dx in range(2):
+        for dy in range(2):
+            for dz in range(2):
+                c = base + jnp.array([dx, dy, dz])
+                w = (
+                    jnp.where(dx, frac[:, 0], 1 - frac[:, 0])
+                    * jnp.where(dy, frac[:, 1], 1 - frac[:, 1])
+                    * jnp.where(dz, frac[:, 2], 1 - frac[:, 2])
+                )
+                in_range = jnp.all((c >= 0) & (c < GRID_MAX), axis=-1)
+                q = jnp.where(in_range, pack_coords(c), SENTINEL)
+                idx, found = lookup(grid.codes, grid.num, q)
+                out = out + w[:, None] * feats_pad[idx] * found[:, None]
+    return out
+
+
+def prune(grid: SparseGrid, keep: jnp.ndarray) -> SparseGrid:
+    """Drop voxels where keep is False (MinkowskiPruning equivalent,
+    model_v2.py:271). Static-shape: compact survivors to the front."""
+    keep = keep & grid.valid
+    order = jnp.argsort(jnp.where(keep, grid.codes, SENTINEL))
+    return SparseGrid(
+        codes=jnp.where(keep[order], grid.codes[order], SENTINEL),
+        feats=grid.feats[order] * keep[order][:, None],
+        num=keep.sum().astype(jnp.int32),
+        stride=grid.stride,
+    )

@@ -1,0 +1,266 @@
+"""Batched point clouds as JAX pytrees.
+
+Equivalent surface to the reference ``PointCloud`` (structures.py:169-1121):
+(b, n, ·) attribute containers, PLY round-trip, valid-mask machinery, ragged
+``cat`` with padding, and Gaussian-weighted voxel downsampling. TPU-first
+redesign choices:
+
+- immutable flax.struct pytree — flows through jit/vmap/pjit;
+- static shapes: operations that shrink the cloud (voxel downsampling,
+  validity filtering) keep the padded length and update ``valid_mask``
+  instead of reallocating, so they can live inside jit;
+- the point-at-inf sentinel protocol of the reference is subsumed by
+  ``valid_mask`` (invalid points are masked, never moved to 1e12).
+"""
+
+from __future__ import annotations
+
+import typing as T
+
+import flax.struct
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import segment
+
+INF = 1e12  # kept for interop with reference-produced data (structures.py:26)
+
+
+@flax.struct.dataclass
+class PointCloud:
+    xyz_w: jnp.ndarray  # (b, n, 3)
+    rgb: T.Optional[jnp.ndarray] = None  # (b, n, 3)
+    normal_w: T.Optional[jnp.ndarray] = None  # (b, n, 3)
+    valid_mask: T.Optional[jnp.ndarray] = None  # (b, n, 1) bool
+    feature: T.Optional[jnp.ndarray] = None  # (b, n, f)
+    captured_z_direction_w: T.Optional[jnp.ndarray] = None  # (b, n, 3)
+    captured_view_direction_w: T.Optional[jnp.ndarray] = None  # (b, n, 3)
+    captured_dps: T.Optional[jnp.ndarray] = None  # (b, n, 1)
+    captured_dps_u_w: T.Optional[jnp.ndarray] = None  # (b, n, 3)
+    captured_dps_v_w: T.Optional[jnp.ndarray] = None  # (b, n, 3)
+    img_idxs: T.Optional[jnp.ndarray] = None  # (b, n, 1)
+
+    _ATTRS = (
+        "xyz_w", "rgb", "normal_w", "valid_mask", "feature",
+        "captured_z_direction_w", "captured_view_direction_w",
+        "captured_dps", "captured_dps_u_w", "captured_dps_v_w", "img_idxs",
+    )
+    _DIRECTION_ATTRS = (
+        "normal_w", "captured_z_direction_w", "captured_view_direction_w",
+    )
+
+    # ---- basics ------------------------------------------------------------
+
+    @property
+    def batch_size(self) -> int:
+        return self.xyz_w.shape[0]
+
+    def get_num_points(self) -> int:
+        return self.xyz_w.shape[1]
+
+    def get_valid_mask(self) -> jnp.ndarray:
+        """(b, n, 1) bool; all-true when unset (ref get_true_valid_mask)."""
+        if self.valid_mask is None:
+            return jnp.ones((*self.xyz_w.shape[:2], 1), bool)
+        return self.valid_mask.astype(bool)
+
+    def get_num_valid_points(self, bidx: int = 0):
+        return self.get_valid_mask()[bidx, :, 0].sum()
+
+    def __getitem__(self, ib) -> "PointCloud":
+        if isinstance(ib, int):
+            ib = slice(ib, ib + 1)
+        return self.replace(
+            **{
+                k: (getattr(self, k)[ib] if getattr(self, k) is not None else None)
+                for k in self._ATTRS
+            }
+        )
+
+    @staticmethod
+    def cat(pcds: T.Sequence["PointCloud"], dim: int = 0) -> "PointCloud":
+        """Concatenate; ragged batches are right-padded with invalid points
+        (ref structures.py:578-640 pad_sequence behaviour)."""
+        n_max = max(p.get_num_points() for p in pcds)
+        padded = [p.pad_to(n_max) for p in pcds]
+        out = {}
+        for k in PointCloud._ATTRS:
+            arrs = [getattr(p, k) for p in padded]
+            out[k] = None if any(a is None for a in arrs) else jnp.concatenate(arrs, axis=dim)
+        if out["valid_mask"] is None:
+            out["valid_mask"] = jnp.concatenate(
+                [p.get_valid_mask() for p in padded], axis=dim
+            )
+        return PointCloud(**out)
+
+    def pad_to(self, n: int) -> "PointCloud":
+        """Right-pad to n points, marking padding invalid."""
+        cur = self.get_num_points()
+        if cur == n:
+            return self if self.valid_mask is not None else self.replace(
+                valid_mask=self.get_valid_mask()
+            )
+        assert cur < n
+        pad = n - cur
+
+        def _pad(a):
+            if a is None:
+                return None
+            return jnp.pad(a, ((0, 0), (0, pad), (0, 0)))
+
+        out = {k: _pad(getattr(self, k)) for k in self._ATTRS}
+        vm = jnp.pad(self.get_valid_mask(), ((0, 0), (0, pad), (0, 0)))
+        out["valid_mask"] = vm
+        return PointCloud(**out)
+
+    def extract_valid_point_cloud(self, bidx: int = 0) -> "PointCloud":
+        """Compact valid points to the front (host-side; dynamic output size
+        replaced by stable-partition + mask to stay jit-safe)
+        (ref structures.py:454-473)."""
+        mask = self.get_valid_mask()[bidx, :, 0]
+        order = jnp.argsort(~mask, stable=True)
+
+        def _take(a):
+            return None if a is None else a[bidx : bidx + 1, order]
+
+        out = {k: _take(getattr(self, k)) for k in self._ATTRS}
+        out["valid_mask"] = mask[order][None, :, None]
+        return PointCloud(**out)
+
+    # ---- IO -----------------------------------------------------------------
+
+    @staticmethod
+    def from_ply(path: str) -> "PointCloud":
+        """Load from PLY (replaces from_o3d_pcd, ref structures.py:214-241)."""
+        from ..io.ply import read_ply
+
+        d = read_ply(path)
+        return PointCloud(
+            xyz_w=jnp.asarray(d["xyz"])[None],
+            rgb=jnp.asarray(d["rgb"])[None] if "rgb" in d else None,
+            normal_w=jnp.asarray(d["normal"])[None] if "normal" in d else None,
+        )
+
+    @staticmethod
+    def from_numpy(xyz, rgb=None, normal=None) -> "PointCloud":
+        def _a(x):
+            if x is None:
+                return None
+            x = jnp.asarray(x, jnp.float32)
+            return x[None] if x.ndim == 2 else x
+
+        return PointCloud(xyz_w=_a(xyz), rgb=_a(rgb), normal_w=_a(normal))
+
+    def save(self, path: str, bidx: int = 0, overwrite: bool = True):
+        """Save one batch item's valid points to PLY
+        (ref structures.py:826-873)."""
+        from ..io.ply import write_ply
+
+        mask = np.asarray(self.get_valid_mask()[bidx, :, 0])
+        xyz = np.asarray(self.xyz_w[bidx])[mask]
+        rgb = None if self.rgb is None else np.asarray(self.rgb[bidx])[mask]
+        nrm = None if self.normal_w is None else np.asarray(self.normal_w[bidx])[mask]
+        write_ply(path, xyz, rgb=rgb, normal=nrm, overwrite=overwrite)
+
+    # ---- voxel downsampling (ref structures.py:642-762) ----------------------
+
+    def voxel_downsampling(
+        self, cell_width: float, sigma: float = 0.5, drop_features: bool = True
+    ) -> "PointCloud":
+        """Gaussian-weighted voxel averaging, exactly the reference scheme:
+        per occupied cell, xyz = plain mean; other attributes = sum of
+        exp(-d²/2σ²)-normalized weights (σ scaled by the per-axis-adjusted
+        cell width); direction attributes re-normalized.
+
+        TPU-native: grid hash → sort → segment reductions; output keeps the
+        input padded length with a fresh valid_mask (one valid point per
+        occupied cell).
+        """
+        if cell_width < 0:
+            return self
+        b, n = self.xyz_w.shape[:2]
+        outs = []
+        for ib in range(b):
+            outs.append(self._voxel_downsample_one(ib, cell_width, sigma, drop_features))
+        return PointCloud.cat(outs, dim=0)
+
+    def _voxel_downsample_one(self, ib, cell_width, sigma, drop_features):
+        mask = self.get_valid_mask()[ib, :, 0]
+        xyz = self.xyz_w[ib]
+        n = xyz.shape[0]
+        sigma = sigma * cell_width
+
+        big = jnp.where(mask[:, None], xyz, jnp.inf)
+        small = jnp.where(mask[:, None], xyz, -jnp.inf)
+        grid_from = jnp.min(big, axis=0) - 1e-3
+        grid_to = jnp.max(small, axis=0) + 1e-3
+        grid_width = grid_to - grid_from
+        grid_size = jnp.ceil(grid_width / cell_width)
+        cw = grid_width / grid_size  # per-axis adjusted cell width (ref :684)
+
+        sub = jnp.floor((xyz - grid_from) / cw).astype(jnp.int32)
+        gs = grid_size.astype(jnp.int64)
+        inds = (
+            sub[:, 2].astype(jnp.int64)
+            + sub[:, 1].astype(jnp.int64) * gs[2]
+            + sub[:, 0].astype(jnp.int64) * (gs[1] * gs[2])
+        )
+        inds = jnp.where(mask, inds, jnp.iinfo(jnp.int64).max)
+
+        # unique via sort: segment ids in sorted order
+        order = jnp.argsort(inds)
+        sorted_inds = inds[order]
+        newseg = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             (sorted_inds[1:] != sorted_inds[:-1]).astype(jnp.int32)]
+        )
+        seg_sorted = jnp.cumsum(newseg)
+        # scatter back to original point order
+        seg = jnp.zeros((n,), jnp.int32).at[order].set(seg_sorted)
+        seg = jnp.where(mask, seg, n - 1)  # invalid points land in a junk cell
+
+        fm = mask.astype(jnp.float32)[:, None]
+        xyz_sum = segment.segment_sum(xyz * fm, seg, n)
+        cnt = segment.segment_sum(fm, seg, n)
+        xyz_mean = xyz_sum / jnp.maximum(cnt, 1.0)
+
+        d2 = jnp.sum((xyz - xyz_mean[seg]) ** 2, axis=-1)
+        w = jnp.exp(-d2 / (2 * sigma**2)) * mask
+        w_sum = segment.segment_sum(w, seg, n)
+        w_norm = (w / jnp.maximum(w_sum[seg], 1e-20))[:, None]
+
+        num_cells = seg_sorted[-1] + 1 - (~mask.any()).astype(jnp.int32)
+        cell_valid = (
+            jnp.arange(n) < (num_cells - (~mask).any().astype(jnp.int32) * 0)
+        )
+        # a cell is valid iff it received any valid point
+        cell_valid = segment.segment_sum(fm[:, 0], seg, n) > 0
+
+        out = {"xyz_w": xyz_mean[None], "valid_mask": cell_valid[None, :, None]}
+        keep = {"rgb", "normal_w", "feature"}
+        for name in self._ATTRS:
+            if name in ("xyz_w", "valid_mask", "img_idxs"):
+                continue
+            arr = getattr(self, name)
+            if arr is None or (drop_features and name not in keep):
+                out[name] = None
+                continue
+            a = segment.segment_sum(arr[ib] * w_norm, seg, n)
+            if name in self._DIRECTION_ATTRS:
+                a = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-12)
+            out[name] = a[None]
+        out["img_idxs"] = None
+        return PointCloud(**out)
+
+    # ---- persistence ----------------------------------------------------------
+
+    def state_dict(self):
+        return {
+            k: np.asarray(v)
+            for k in self._ATTRS
+            if (v := getattr(self, k)) is not None
+        }
+
+    @staticmethod
+    def from_state_dict(d) -> "PointCloud":
+        return PointCloud(**{k: jnp.asarray(v) for k, v in d.items()})

@@ -1,0 +1,199 @@
+"""Rasterizer vs sequential numpy oracle + autodiff sanity."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpcr_tpu.ops import rasterize as R
+from gpcr_tpu.utils import rigid_motion
+
+import oracle
+
+
+def make_camera_matrices(eye, W, H, fov_deg=60.0):
+    """Build torch-layout (transposed) view / full-proj matrices the way the
+    reference does (simple_raw_render.py:51-112)."""
+    H_c2w = rigid_motion.get_H_c2w_lookat(
+        jnp.asarray(eye, jnp.float32), jnp.zeros(3), jnp.array([0.0, 1.0, 0.0])
+    )
+    H_w2c = rigid_motion.inv_homogeneous(H_c2w)
+    view_t = H_w2c.T  # torch layout
+
+    znear, zfar = 0.01, 100.0
+    fov = math.radians(fov_deg)
+    th = math.tan(fov / 2)
+    P = np.zeros((4, 4), np.float32)
+    P[0, 0] = 1.0 / th
+    P[1, 1] = 1.0 / th
+    P[3, 2] = 1.0
+    P[2, 2] = zfar / (zfar - znear)
+    P[2, 3] = -(zfar * znear) / (zfar - znear)
+    proj_t = jnp.asarray(P.T)
+    full_t = view_t @ proj_t
+    tanfov = math.tan(fov)  # reference quirk: tan(fov) not tan(fov/2)
+    campos = H_c2w[:3, 3]
+    return view_t, full_t, tanfov, campos
+
+
+def random_scene(n, seed=0, spread=0.6, scale=0.08):
+    rng = np.random.RandomState(seed)
+    means = rng.uniform(-spread, spread, (n, 3)).astype(np.float32)
+    scales = rng.uniform(0.3, 1.0, (n, 3)).astype(np.float32) * scale
+    rots = rng.randn(n, 4).astype(np.float32)  # unnormalized on purpose
+    rots[:, 0] += 2.0
+    ops = rng.uniform(0.3, 1.0, (n,)).astype(np.float32)
+    feats = rng.rand(n, 3).astype(np.float32)
+    return means, scales, rots, ops, feats
+
+
+@pytest.mark.parametrize("n,wh", [(40, 48), (120, 64)])
+def test_matches_oracle(n, wh):
+    W = H = wh
+    means, scales, rots, ops, feats = random_scene(n, seed=n)
+    view_t, full_t, tanfov, campos = make_camera_matrices([0.0, 0.0, -2.5], W, H)
+    bg = np.array([0.2, 0.3, 0.4], np.float32)
+
+    ref, ref_radii, ref_T = oracle.rasterize_oracle(
+        means, scales, rots, ops, feats,
+        np.asarray(view_t), np.asarray(full_t), W, H, tanfov, tanfov, bg,
+    )
+
+    settings = R.GaussianRasterizationSettings(
+        image_height=H, image_width=W, tanfovx=tanfov, tanfovy=tanfov,
+        bg=jnp.asarray(bg), scale_modifier=1.0,
+        viewmatrix=view_t, projmatrix=full_t, sh_degree=0, campos=campos,
+    )
+    cfg = R.RasterizeConfig(max_dup_per_gaussian=64, chunk_size=64, tile_batch=4)
+    color, radii, extra = R.rasterize_gaussians(
+        jnp.asarray(means), jnp.asarray(ops), settings,
+        scales=jnp.asarray(scales), rotations=jnp.asarray(rots),
+        colors_precomp=jnp.asarray(feats), config=cfg, return_extra=True,
+    )
+    assert int(extra["dup_overflow"]) == 0
+    np.testing.assert_array_equal(np.asarray(radii), ref_radii)
+    np.testing.assert_allclose(np.asarray(color), ref, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(extra["final_T"]), ref_T, rtol=2e-4,
+                               atol=2e-5)
+
+
+def test_dense_overdraw_early_termination():
+    """Many opaque gaussians stacked at the same spot — exercises the
+    T < 1e-4 termination path."""
+    W = H = 32
+    n = 64
+    rng = np.random.RandomState(3)
+    means = (rng.randn(n, 3) * 0.01).astype(np.float32)
+    means[:, 2] = np.linspace(-0.3, 0.3, n)
+    scales = np.full((n, 3), 0.15, np.float32)
+    rots = np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))
+    ops = np.full((n,), 0.95, np.float32)
+    feats = rng.rand(n, 3).astype(np.float32)
+    view_t, full_t, tanfov, campos = make_camera_matrices([0.0, 0.0, -2.0], W, H)
+    bg = np.zeros(3, np.float32)
+
+    ref, _, ref_T = oracle.rasterize_oracle(
+        means, scales, rots, ops, feats,
+        np.asarray(view_t), np.asarray(full_t), W, H, tanfov, tanfov, bg,
+    )
+    settings = R.GaussianRasterizationSettings(
+        image_height=H, image_width=W, tanfovx=tanfov, tanfovy=tanfov,
+        bg=jnp.asarray(bg), scale_modifier=1.0,
+        viewmatrix=view_t, projmatrix=full_t, sh_degree=0, campos=campos,
+    )
+    cfg = R.RasterizeConfig(max_dup_per_gaussian=16, chunk_size=32, tile_batch=4)
+    color, _, extra = R.rasterize_gaussians(
+        jnp.asarray(means), jnp.asarray(ops), settings,
+        scales=jnp.asarray(scales), rotations=jnp.asarray(rots),
+        colors_precomp=jnp.asarray(feats), config=cfg, return_extra=True,
+    )
+    np.testing.assert_allclose(np.asarray(color), ref, rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(extra["final_T"]), ref_T, rtol=3e-4,
+                               atol=1e-6)
+
+
+def test_differentiable_mode_matches_and_grads():
+    W = H = 32
+    means, scales, rots, ops, feats = random_scene(24, seed=7, spread=0.4)
+    view_t, full_t, tanfov, campos = make_camera_matrices([0.3, 0.2, -2.0], W, H)
+    bg = np.zeros(3, np.float32)
+    settings = R.GaussianRasterizationSettings(
+        image_height=H, image_width=W, tanfovx=tanfov, tanfovy=tanfov,
+        bg=jnp.asarray(bg), scale_modifier=1.0,
+        viewmatrix=view_t, projmatrix=full_t, sh_degree=0, campos=campos,
+    )
+    cfg_w = R.RasterizeConfig(max_dup_per_gaussian=32, chunk_size=32, tile_batch=4)
+    cfg_d = cfg_w._replace(differentiable=True, max_chunks=8)
+
+    def render(cfg, m, s, q, o, f):
+        c, _ = R.rasterize_gaussians(
+            m, o, settings, scales=s, rotations=q, colors_precomp=f, config=cfg
+        )
+        return c
+
+    c_w = render(cfg_w, *map(jnp.asarray, (means, scales, rots, ops, feats)))
+    c_d = render(cfg_d, *map(jnp.asarray, (means, scales, rots, ops, feats)))
+    np.testing.assert_allclose(np.asarray(c_w), np.asarray(c_d), atol=1e-6)
+
+    def loss(m, s, q, o, f):
+        return jnp.sum(render(cfg_d, m, s, q, o, f) ** 2)
+
+    grads = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(
+        *map(jnp.asarray, (means, scales, rots, ops, feats))
+    )
+    for gr in grads:
+        assert np.all(np.isfinite(np.asarray(gr)))
+    # finite-difference check on opacity of one gaussian
+    i = 5
+    eps = 1e-3
+    op_p = ops.copy(); op_p[i] += eps
+    op_m = ops.copy(); op_m[i] -= eps
+    f_p = loss(*map(jnp.asarray, (means, scales, rots, op_p, feats)))
+    f_m = loss(*map(jnp.asarray, (means, scales, rots, op_m, feats)))
+    fd = (f_p - f_m) / (2 * eps)
+    an = np.asarray(grads[3])[i]
+    assert np.isclose(fd, an, rtol=5e-2, atol=1e-3), (fd, an)
+
+
+def test_sh_color_path():
+    """SH-mode rasterization equals precomputed-color mode fed eval_sh_color."""
+    from gpcr_tpu.utils import sh as jsh
+
+    W = H = 32
+    means, scales, rots, ops, _ = random_scene(30, seed=11, spread=0.4)
+    rng = np.random.RandomState(12)
+    K = 9  # sh_deg 1 layout of the reference: 1 DC + 8 AC rows
+    shs = (rng.randn(30, K, 3) * 0.3).astype(np.float32)
+    view_t, full_t, tanfov, campos = make_camera_matrices([0.0, 0.4, -2.0], W, H)
+    settings = R.GaussianRasterizationSettings(
+        image_height=H, image_width=W, tanfovx=tanfov, tanfovy=tanfov,
+        bg=jnp.zeros(3), scale_modifier=1.0,
+        viewmatrix=view_t, projmatrix=full_t, sh_degree=1, campos=campos,
+    )
+    cfg = R.RasterizeConfig(max_dup_per_gaussian=32, chunk_size=32, tile_batch=4)
+    c_sh, _ = R.rasterize_gaussians(
+        jnp.asarray(means), jnp.asarray(ops), settings,
+        scales=jnp.asarray(scales), rotations=jnp.asarray(rots),
+        shs=jnp.asarray(shs), config=cfg,
+    )
+    colors = jsh.eval_sh_color(1, jnp.asarray(shs), jnp.asarray(means), campos)
+    c_pc, _ = R.rasterize_gaussians(
+        jnp.asarray(means), jnp.asarray(ops), settings,
+        scales=jnp.asarray(scales), rotations=jnp.asarray(rots),
+        colors_precomp=colors, config=cfg,
+    )
+    np.testing.assert_allclose(np.asarray(c_sh), np.asarray(c_pc), atol=1e-6)
+
+
+def test_input_validation():
+    settings = R.GaussianRasterizationSettings(
+        image_height=16, image_width=16, tanfovx=1.0, tanfovy=1.0,
+        bg=jnp.zeros(3), scale_modifier=1.0,
+        viewmatrix=jnp.eye(4), projmatrix=jnp.eye(4), sh_degree=0,
+        campos=jnp.zeros(3),
+    )
+    m = jnp.zeros((4, 3))
+    with pytest.raises(ValueError):
+        R.rasterize_gaussians(m, jnp.ones(4), settings)
