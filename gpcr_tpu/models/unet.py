@@ -1,0 +1,210 @@
+"""Sparse U-Net in functional JAX on the voxel-hash conv engine.
+
+Architecture mirror of the reference ``models/model_v2.py`` (InceptionResNet
+:15-65, SparseUNet :67-226) on top of ``gpcr_tpu.ops.sparse`` instead of
+MinkowskiEngine. Parameters are plain nested dicts whose keys mirror the
+torch module names (conv0, down0, block0.0.conv0_0, up0, conv_0, ...) so the
+torch->JAX checkpoint converter is a mechanical rename.
+
+TPU-first choices:
+- each resolution level's 27-neighborhood gather table (kernel map) is built
+  ONCE and shared by every conv at that level (the reference rebuilds ME
+  kernel maps internally; here it is explicit and cached);
+- the up path restores the encoder's cached coordinate lists — the
+  hash-grid equivalent of ME's generative transposed conv targeting
+  ``coordinate_map_key`` (model_v2.py:212-220);
+- all matmuls are dense (N, Cin) x (Cin, Cout) MXU ops; channel sizes come
+  from the config string (deployed: '9 32 64 128 256 128', options.yaml:114).
+"""
+
+from __future__ import annotations
+
+import typing as T
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import sparse
+
+
+def _init_conv(key, kernel_volume: int, cin: int, cout: int):
+    """Kaiming-uniform-ish init matching ME's default (std ~ sqrt(2/fan_in))."""
+    fan_in = kernel_volume * cin
+    std = (2.0 / fan_in) ** 0.5
+    k1, _ = jax.random.split(key)
+    kernel = jax.random.normal(k1, (kernel_volume, cin, cout), jnp.float32) * std
+    return {"kernel": kernel, "bias": jnp.zeros((cout,), jnp.float32)}
+
+
+def _relu(x):
+    return jnp.maximum(x, 0.0)
+
+
+class InceptionResNet:
+    """Two-branch sparse residual block (model_v2.py:15-65):
+    (3³→3³: ch→ch/4→ch/2) ∥ (1³→3³→1³: ch→ch/4→ch/4→ch/2), concat + skip."""
+
+    def __init__(self, channels: int):
+        self.ch = channels
+
+    def init(self, key):
+        ks = jax.random.split(key, 5)
+        c = self.ch
+        return {
+            "conv0_0": _init_conv(ks[0], 27, c, c // 4),
+            "conv0_1": _init_conv(ks[1], 27, c // 4, c // 2),
+            "conv1_0": _init_conv(ks[2], 1, c, c // 4),
+            "conv1_1": _init_conv(ks[3], 27, c // 4, c // 4),
+            "conv1_2": _init_conv(ks[4], 1, c // 4, c // 2),
+        }
+
+    def apply(self, params, grid: sparse.SparseGrid, kmap):
+        def c3(p, g):
+            return sparse.conv(g, kmap, p["kernel"], p["bias"])
+
+        def c1(p, feats, valid):
+            out = jnp.dot(feats, p["kernel"][0],
+                          preferred_element_type=jnp.float32) + p["bias"]
+            return out * valid[:, None]
+
+        x = grid.feats
+        out0 = c3(params["conv0_1"],
+                  grid.replace(feats=_relu(c3(params["conv0_0"], grid))))
+        h = _relu(c1(params["conv1_0"], x, grid.valid))
+        h = _relu(c3(params["conv1_1"], grid.replace(feats=h)))
+        out1 = c1(params["conv1_2"], h, grid.valid)
+        return jnp.concatenate([out0, out1], axis=-1) + x
+
+
+class SparseUNet:
+    """3-level sparse U-Net (model_v2.py:67-226)."""
+
+    def __init__(self, channels: T.Sequence[int] = (1, 16, 32, 64, 32, 8),
+                 feat_dim: int = 32, block_layers: int = 3):
+        self.channels = list(channels)
+        self.feat_dim = feat_dim
+        self.block_layers = block_layers
+
+    # ---- params -----------------------------------------------------------
+
+    def init(self, key):
+        c = self.channels
+        ks = iter(jax.random.split(key, 64))
+
+        def blocks(ch):
+            return {
+                str(i): InceptionResNet(ch).init(next(ks))
+                for i in range(self.block_layers)
+            }
+
+        return {
+            "conv0": _init_conv(next(ks), 27, c[0], c[1]),
+            "down0": _init_conv(next(ks), 8, c[1], c[2]),
+            "block0": blocks(c[2]),
+            "conv1": _init_conv(next(ks), 27, c[2], c[2]),
+            "down1": _init_conv(next(ks), 8, c[2], c[3]),
+            "block1": blocks(c[3]),
+            "conv2": _init_conv(next(ks), 27, c[3], c[3]),
+            "down2": _init_conv(next(ks), 8, c[3], c[4]),
+            "block2": blocks(c[4]),
+            "conv3": _init_conv(next(ks), 27, c[4], c[5]),
+            "up0": _init_conv(next(ks), 8, c[5], c[3]),
+            "conv_0": _init_conv(next(ks), 27, c[3] * 2, c[3]),
+            "block_0": blocks(c[3]),
+            "up1": _init_conv(next(ks), 8, c[3], c[2]),
+            "conv_1": _init_conv(next(ks), 27, c[2] * 2, c[2]),
+            "block_1": blocks(c[2]),
+            "up2": _init_conv(next(ks), 8, c[2], c[1]),
+            "conv_2": _init_conv(next(ks), 27, c[1] * 2, c[1]),
+            "block_2": blocks(c[1]),
+            "conv_3": _init_conv(next(ks), 27, c[1], self.feat_dim),
+        }
+
+    # ---- plan: geometry-only precomputation --------------------------------
+
+    def build_plan(self, grid: sparse.SparseGrid,
+                   level_capacity: T.Optional[T.Sequence[int]] = None):
+        """Precompute the coordinate hierarchy + gather tables for one input
+        coordinate set. Reused across forward passes on the same cloud and
+        shared by all convs (the ME coordinate-manager equivalent)."""
+        if level_capacity is None:
+            n = grid.capacity
+            level_capacity = [n, n, max(n // 2, 1), max(n // 4, 1)]
+        grids = [grid]
+        downs = []  # (parent_slot, octant) per level transition
+        g = grid
+        for lvl in range(3):
+            pgrid, parent_slot, octant = sparse.downsample_coords(
+                g, capacity=level_capacity[lvl + 1]
+            )
+            downs.append((parent_slot, octant))
+            grids.append(pgrid)
+            g = pgrid
+        kmaps = [sparse.build_kernel_map(g, 3) for g in grids]
+        return {"grids": grids, "downs": downs, "kmaps": kmaps,
+                "overflow": [g.num > g.capacity for g in grids]}
+
+    # ---- forward (model_v2.py:202-226) --------------------------------------
+
+    def apply(self, params, grid: sparse.SparseGrid, plan) -> jnp.ndarray:
+        grids, downs, kmaps = plan["grids"], plan["downs"], plan["kmaps"]
+
+        def conv3x(p, g, kmap):
+            return sparse.conv(g, kmap, p["kernel"], p["bias"])
+
+        def down(p, g, lvl):
+            parent_slot, octant = downs[lvl]
+            return sparse.conv_down(
+                g, grids[lvl + 1], parent_slot, octant, p["kernel"], p["bias"]
+            )
+
+        def up(p, g_coarse, lvl_fine):
+            tgt = grids[lvl_fine]
+            return sparse.conv_up_generative(
+                g_coarse, tgt.codes, tgt.num, tgt.stride, p["kernel"], p["bias"]
+            )
+
+        def run_blocks(bparams, g, kmap):
+            for i in range(self.block_layers):
+                g = g.replace(
+                    feats=InceptionResNet(g.feats.shape[1]).apply(
+                        bparams[str(i)], g, kmap
+                    )
+                )
+            return g
+
+        g0 = grid
+        out_x = _relu(conv3x(params["conv0"], g0, kmaps[0]))
+        g0x = g0.replace(feats=out_x)
+
+        f1 = _relu(down(params["down0"], g0x, 0))
+        g1 = grids[1].replace(feats=f1)
+        g1 = run_blocks(params["block0"], g1, kmaps[1])
+
+        h = _relu(conv3x(params["conv1"], g1, kmaps[1]))
+        f2 = _relu(down(params["down1"], g1.replace(feats=h), 1))
+        g2 = grids[2].replace(feats=f2)
+        g2 = run_blocks(params["block1"], g2, kmaps[2])
+
+        h = _relu(conv3x(params["conv2"], g2, kmaps[2]))
+        f3 = _relu(down(params["down2"], g2.replace(feats=h), 2))
+        g3 = grids[3].replace(feats=f3)
+        g3 = run_blocks(params["block2"], g3, kmaps[3])
+        g3 = g3.replace(feats=conv3x(params["conv3"], g3, kmaps[3]))
+
+        u2 = _relu(up(params["up0"], g3, 2))
+        g2d = grids[2].replace(feats=jnp.concatenate([u2, g2.feats], axis=-1))
+        g2d = g2d.replace(feats=_relu(conv3x(params["conv_0"], g2d, kmaps[2])))
+        g2d = run_blocks(params["block_0"], g2d, kmaps[2])
+
+        u1 = _relu(up(params["up1"], g2d, 1))
+        g1d = grids[1].replace(feats=jnp.concatenate([u1, g1.feats], axis=-1))
+        g1d = g1d.replace(feats=_relu(conv3x(params["conv_1"], g1d, kmaps[1])))
+        g1d = run_blocks(params["block_1"], g1d, kmaps[1])
+
+        u0 = _relu(up(params["up2"], g1d, 0))
+        g0d = grids[0].replace(feats=jnp.concatenate([u0, out_x], axis=-1))
+        g0d = g0d.replace(feats=_relu(conv3x(params["conv_2"], g0d, kmaps[0])))
+        g0d = run_blocks(params["block_2"], g0d, kmaps[0])
+
+        return conv3x(params["conv_3"], g0d, kmaps[0])

@@ -129,8 +129,11 @@ def quantize_average(
     cnt = segment.segment_sum(ok[:, 0], seg, capacity)
     fmean = fsum / jnp.maximum(cnt, 1.0)[:, None]
 
-    out_codes = jnp.full((capacity,), SENTINEL, jnp.int32)
-    out_codes = out_codes.at[seg].set(jnp.where(sc == SENTINEL, SENTINEL, sc))
+    # sentinel rows inherit the running segment id; scatter them into an
+    # overflow slot so they cannot clobber the last real slot
+    seg_write = jnp.where(sc == SENTINEL, capacity, seg)
+    out_codes = jnp.full((capacity + 1,), SENTINEL, jnp.int32)
+    out_codes = out_codes.at[seg_write].set(sc)[:capacity]
     slot_valid = jnp.arange(capacity) < n_unique
     return SparseGrid(
         codes=jnp.where(slot_valid, out_codes, SENTINEL),
@@ -255,8 +258,9 @@ def downsample_coords(grid: SparseGrid, capacity: T.Optional[int] = None):
     n_unique = jnp.maximum(jnp.max(jnp.where(sc == SENTINEL, -1, seg)) + 1, 0)
     seg = jnp.clip(seg, 0, capacity - 1)
 
-    out_codes = jnp.full((capacity,), SENTINEL, jnp.int32)
-    out_codes = out_codes.at[seg].set(jnp.where(sc == SENTINEL, SENTINEL, sc))
+    seg_write = jnp.where(sc == SENTINEL, capacity, seg)
+    out_codes = jnp.full((capacity + 1,), SENTINEL, jnp.int32)
+    out_codes = out_codes.at[seg_write].set(sc)[:capacity]
     slot_valid = jnp.arange(capacity) < n_unique
     out_codes = jnp.where(slot_valid, out_codes, SENTINEL)
 
