@@ -1,0 +1,156 @@
+"""End-to-end renderer tests: SimpleRender / PCMLRender on synthetic clouds."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpcr_tpu.render import renderer as RD
+from gpcr_tpu.structures.pointcloud import PointCloud
+from gpcr_tpu.structures.trajectory import CameraTrajectory
+
+
+def synthetic_cloud(n=600, seed=0, voxel=True, grid=128):
+    """Random points on a sphere surface, colored by position."""
+    rng = np.random.RandomState(seed)
+    v = rng.randn(n, 3)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    xyz = v * 0.8  # world coords in [-1, 1]
+    rgb = (v * 0.5 + 0.5).astype(np.float32)
+    if voxel:
+        xyz_q = np.round(xyz * (grid // 2) + 512).astype(np.float32)
+        return PointCloud.from_numpy(xyz_q, rgb), grid // 2
+    return PointCloud.from_numpy(xyz.astype(np.float32), rgb), None
+
+
+def circle_cam(n_imgs=2, wh=64, fov=60.0):
+    traj = CameraTrajectory(
+        mode="circle", n_imgs=n_imgs, total=1,
+        params={"d": 0, "r": 3, "center_angles": [90, 0]},
+    )
+    return traj.get_camera(fov=fov, width_px=wh, height_px=wh)
+
+
+def test_simple_render_end_to_end():
+    pcd, sf = synthetic_cloud(voxel=True)
+    cam = circle_cam(n_imgs=2, wh=64)
+    rdr = RD.SimpleRender(voxelized=True, scale_factor=sf)
+    timing = {}
+    out = rdr.render(
+        pcd, scale=None, cam=cam, fov=60.0, super_sample_rate=2,
+        background_color=0.0, sigma=1.0, timing=timing,
+    )
+    rgb = np.asarray(out["rgb"])
+    assert rgb.shape == (1, 2, 64, 64, 3)
+    assert np.all(np.isfinite(rgb))
+    # with bg=0 the hitmap is raw coverage
+    hit = np.asarray(out["hitmap"])[0, 0, :, :, 0]
+    assert hit.max() > 0.5  # the sphere is visible
+    corners = rgb[0, 0, 0, 0], rgb[0, 0, -1, -1]
+    for c in corners:
+        np.testing.assert_allclose(c, 0.0, atol=1e-5)
+    # xyz render: on-sphere pixels should read back approximately the
+    # world position (|xyz| ~ 0.8 where fully hit)
+    xyz = np.asarray(out["xyz_w"])[0, 0]
+    strong = hit > 0.99
+    if strong.any():
+        norms = np.linalg.norm(xyz[strong], axis=-1)
+        assert np.abs(np.median(norms) - 0.8) < 0.1
+
+
+def test_pcml_render_end_to_end_random_weights():
+    pcd, sf = synthetic_cloud(n=400, voxel=True)
+    cam = circle_cam(n_imgs=1, wh=48)
+    info = {
+        "clr_encoder_channels": "9 8 8 8 8 8",
+        "sh_deg": 1, "sh_feat_deg": 0,
+        "use_rotation": True, "use_scale": True, "use_offset": True,
+        "use_dc_offset": False, "use_opacity": False, "est_normal": True,
+        "normalize_normal": True, "enable_opacity": True,
+        "scale_factor": sf, "model_type": "unet",
+    }
+    rdr = RD.PCMLRender(info=info, voxelized=True, scale_factor=sf)
+    out = rdr.render(pcd, scale=None, cam=cam, fov=60.0, background_color=0.0)
+    for k in ("rgb", "xyz_w", "hitmap", "normal"):
+        assert out[k] is not None, k
+        assert out[k].shape == (1, 1, 48, 48, 3)
+        assert np.all(np.isfinite(np.asarray(out[k])))
+
+
+def test_point_light_shading_shape():
+    pcd, sf = synthetic_cloud(n=300, voxel=True)
+    cam = circle_cam(n_imgs=1, wh=32)
+    info = {
+        "clr_encoder_channels": "9 8 8 8 8 8",
+        "sh_deg": 1, "sh_feat_deg": 0,
+        "use_rotation": True, "use_scale": True, "use_offset": True,
+        "use_dc_offset": False, "use_opacity": False, "est_normal": True,
+        "normalize_normal": True, "enable_opacity": True,
+        "scale_factor": sf, "model_type": "unet",
+    }
+    light = {
+        "xyz_w": [jnp.asarray([5.0, -5.0, -5.0])],
+        "color": [jnp.asarray([1.0, 1.0, 1.0])],
+        "light_coeff": [0.7, 0.3],
+    }
+    rdr = RD.PCMLRender(info=info, voxelized=True, scale_factor=sf)
+    out = rdr.render(
+        pcd, scale=None, cam=cam, fov=60.0, point_light=light,
+    )
+    assert out["shaded"].shape == (1, 1, 32, 32, 3)
+
+
+def test_bilinear_resize_matches_torch():
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(0)
+    img = rng.rand(2, 3, 32, 32).astype(np.float32)
+    ref = F.interpolate(
+        torch.from_numpy(img), size=(16, 16), mode="bilinear",
+        align_corners=False,
+    ).numpy()
+    got = np.asarray(RD.bilinear_resize(jnp.asarray(img), 16, 16))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+    # non-integer ratio
+    ref2 = F.interpolate(
+        torch.from_numpy(img), size=(20, 24), mode="bilinear",
+        align_corners=False,
+    ).numpy()
+    got2 = np.asarray(RD.bilinear_resize(jnp.asarray(img), 20, 24))
+    np.testing.assert_allclose(got2, ref2, atol=1e-5)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from gpcr_tpu.models.encoder import PCEncoder, PCMLInfo
+    from gpcr_tpu.render import checkpoint as CK
+
+    info = PCMLInfo(clr_encoder_channels="9 8 8 8 8 8")
+    enc = PCEncoder(info)
+    params = enc.init(jax.random.PRNGKey(0))
+    p = str(tmp_path / "ck.npz")
+    CK.save_params(p, params)
+    loaded = CK.load_params(p)
+    flat_a = CK._flatten(params)
+    flat_b = CK._flatten(loaded)
+    assert set(flat_a) == set(flat_b)
+    for k in flat_a:
+        np.testing.assert_array_equal(flat_a[k], flat_b[k])
+
+
+def test_torch_state_dict_conversion():
+    import torch
+
+    from gpcr_tpu.render import checkpoint as CK
+
+    state = {
+        "color_encoder.conv0.kernel": torch.randn(27, 9, 8),
+        "color_encoder.conv0.bias": torch.randn(8),
+        "color_encoder.block0.0.conv1_0.kernel": torch.randn(8, 2),  # 1³ conv
+        "default_quaternion": torch.tensor([[1.0, 0, 0, 0]]),
+    }
+    params = CK.convert_torch_state_dict(state)
+    assert params["color_encoder"]["conv0"]["kernel"].shape == (27, 9, 8)
+    assert params["color_encoder"]["block0"]["0"]["conv1_0"]["kernel"].shape == (
+        1, 8, 2,
+    )
+    assert "default_quaternion" not in params
