@@ -1,0 +1,119 @@
+"""Headline benchmark: per-frame splat render latency.
+
+Target config (BASELINE.md): 800K-point cloud, 1024x1024 output, x2
+supersampling (renders 2048x2048 internally), analytic Simple-path splats —
+the reference's 'rgb time' protocol (warmup, then device-synchronized
+timing; simple_raw_render.py:372-379,433-456).
+
+Prints ONE JSON line:
+  {"metric": "render_ms_per_frame_800k_1024", "value": <ms>, "unit": "ms",
+   "vs_baseline": <10ms_target / value>}
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--points", type=int, default=800_000)
+    ap.add_argument("--res", type=int, default=1024)
+    ap.add_argument("--ssrate", type=int, default=2)
+    ap.add_argument("--frames", type=int, default=5)
+    ap.add_argument("--scale_factor", type=int, default=448)
+    ap.add_argument("--fov", type=float, default=45.0)
+    ap.add_argument("--sigma", type=float, default=1.0)
+    ap.add_argument("--dup_cap", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from gpcr_tpu.ops import rasterize as R
+    from gpcr_tpu.render.renderer import (
+        get_rasterize_param_from_camera, pcgc_rescale, render_views_fused,
+    )
+    from gpcr_tpu.structures.trajectory import CameraTrajectory
+    from gpcr_tpu.utils import sh as sh_utils
+
+    # synthetic THuman-like cloud: points on a vertically-stretched sphere
+    rng = np.random.RandomState(0)
+    n = args.points
+    v = rng.randn(n, 3)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    v[:, 1] *= 1.6
+    v *= 0.55
+    xyz_world = v + rng.randn(n, 3) * 0.01
+    rgb = (rng.rand(n, 3)).astype(np.float32)
+    coords = (xyz_world * args.scale_factor + 512).astype(np.float32)
+
+    traj = CameraTrajectory(
+        mode="circle", n_imgs=args.frames, total=1,
+        params={"d": 0, "r": 3, "center_angles": [90, 0]},
+    )
+    cam = traj.get_camera(fov=args.fov, width_px=args.res, height_px=args.res)
+    rp = get_rasterize_param_from_camera(
+        cam, args.fov, bg=jnp.ones(3), sh_degree=1,
+        super_sample_rate=args.ssrate,
+    )
+
+    means = pcgc_rescale(jnp.asarray(coords), 512, args.scale_factor)
+    shs = jnp.concatenate(
+        [sh_utils.RGB2SH(jnp.asarray(rgb))[:, None, :], jnp.zeros((n, 12, 3))],
+        axis=1,
+    )
+    scales = jnp.ones((n, 3)) * (args.sigma / args.scale_factor)
+    rotations = jnp.broadcast_to(jnp.array([1.0, 0, 0, 0]), (n, 4))
+    opacity = jnp.ones((n,))
+    valid = jnp.ones((n,), bool)
+    normal = jnp.zeros((n, 3))
+
+    config = R.RasterizeConfig(
+        max_dup_per_gaussian=args.dup_cap, chunk_size=256, tile_batch=256
+    )
+
+    def render_frame(view_t, full_t, campos):
+        return render_views_fused(
+            view_t[None], full_t[None], campos[None],
+            means, scales, rotations, opacity, shs, normal, valid,
+            jnp.ones(3), rp["tanfov"],
+            height=rp["height"], width=rp["width"],
+            out_h=args.res, out_w=args.res, sh_degree=1,
+            config=config, with_normal=False,
+        )
+
+    # warmup / compile
+    out = render_frame(rp["view_t"][0], rp["full_t"][0], rp["campos"][0])
+    jax.block_until_ready(out)
+
+    times = []
+    for i in range(args.frames):
+        t0 = time.perf_counter()
+        out = render_frame(rp["view_t"][i], rp["full_t"][i], rp["campos"][i])
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) * 1000.0)
+
+    ms = float(np.median(times))
+    print(
+        json.dumps(
+            {
+                "metric": "render_ms_per_frame_800k_1024",
+                "value": round(ms, 3),
+                "unit": "ms",
+                "vs_baseline": round(10.0 / ms, 4),
+            }
+        )
+    )
+    print(
+        f"# frames={args.frames} times_ms={[round(t, 1) for t in times]} "
+        f"device={jax.devices()[0]}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

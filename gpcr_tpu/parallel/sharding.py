@@ -1,0 +1,73 @@
+"""Device-mesh sharding for training and multi-chip rendering.
+
+The reference trains with torchrun DDP (options.yaml:154,180 — trainer code
+absent) and renders single-GPU. The TPU-native equivalents:
+
+- data parallel (dp): point-cloud batch sharded over the 'dp' mesh axis,
+  params replicated, gradients psum'd — all via jit + NamedSharding (GSPMD
+  inserts the collectives over ICI).
+- view parallel (sp): the view axis of each cloud sharded over 'sp' — the
+  workload's sequence-parallel analogue (SURVEY.md §2.3: the scaling axes
+  here are points/tiles/views, not tokens).
+
+``jax.distributed.initialize`` + the same mesh covers multi-host.
+"""
+
+from __future__ import annotations
+
+import typing as T
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: T.Optional[int] = None,
+    dp: T.Optional[int] = None,
+    sp: T.Optional[int] = None,
+) -> Mesh:
+    """2D mesh with axes ('dp', 'sp'). Defaults: all devices on dp."""
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    devices = devices[:n]
+    if dp is None and sp is None:
+        dp, sp = n, 1
+    elif dp is None:
+        dp = n // sp
+    elif sp is None:
+        sp = n // dp
+    assert dp * sp == n, f"dp({dp}) * sp({sp}) != devices({n})"
+    arr = np.array(devices).reshape(dp, sp)
+    return Mesh(arr, axis_names=("dp", "sp"))
+
+
+def batch_sharding(mesh: Mesh) -> T.Dict[str, NamedSharding]:
+    """Shardings for a training batch: clouds over dp, views over sp."""
+    return {
+        "cloud": NamedSharding(mesh, P("dp")),  # (B, N, ...) -> B over dp
+        "view": NamedSharding(mesh, P("dp", "sp")),  # (B, V, ...) -> B/dp, V/sp
+        "replicated": NamedSharding(mesh, P()),
+    }
+
+
+def replicate(tree, mesh: Mesh):
+    """Place a pytree fully replicated on the mesh."""
+    s = NamedSharding(mesh, P())
+    return jax.device_put(tree, s)
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Apply the canonical shardings to a batch dict.
+
+    Keys with leading (B, N) point dims use cloud sharding; keys with
+    (B, V, ...) view dims use view sharding.
+    """
+    sh = batch_sharding(mesh)
+    out = {}
+    for k, v in batch.items():
+        if k in ("coords", "rgb", "valid"):
+            out[k] = jax.device_put(v, sh["cloud"])
+        else:
+            out[k] = jax.device_put(v, sh["view"])
+    return out
