@@ -1,0 +1,461 @@
+"""Triangle meshes + the ray-traced ground-truth oracle.
+
+Equivalent surface to the reference ``Mesh`` (structures.py:3481-3947) +
+``plib/mesh_utils.py`` + the raycast-interp helpers in ``plib/render.py``.
+The Open3D/Embree RaycastingScene is replaced by the framework's native C++
+BVH (native/raytracer.cpp, ctypes-bound) with a numpy fallback; OBJ/MTL/
+texture loading is pure python/numpy/imageio (no Open3D).
+
+Semantics preserved:
+- preprocess: translate bbox center to ``center_w``, uniform-scale so the
+  mesh lies in [-scale, scale] (mesh_utils.preprocess_mesh:71-111); uv
+  cleaning wraps to [0,1] and fixes degenerate all-same-uv triangles
+  (clean_mesh_uv:13-36).
+- get_ray_intersection (structures.py:3708-3794): barycentric weights
+  (1-u-v, u, v), texture fetch through the UVMap convention (wrap, uv·size −
+  0.5 pixel centers, bilinear — plib/uv_mapping.py:9-61), vertex-normal
+  interpolation, miss→zero normal, normalize, then flip toward the ray
+  origin.
+- sample_point_cloud (structures.py:3796-3947): 'uniform',
+  'uniform_quantized' (round(xyz·448)+512, unique dedup), 'uniform_camera'
+  (camera sphere + ray cast + unproject), 'poisson_disk' (approximated by
+  oversample + voxel-grid thinning — documented deviation; Open3D's
+  sample_points_poisson_disk is not available here).
+"""
+
+from __future__ import annotations
+
+import os
+import typing as T
+
+import numpy as np
+
+from .camera import Camera
+from .pointcloud import PointCloud
+from .ray import Ray
+
+
+# --------------------------------------------------------------------------
+# texture sampling (plib/uv_mapping.py UVMap semantics)
+# --------------------------------------------------------------------------
+
+
+def sample_texture(texture: np.ndarray, uv: np.ndarray) -> np.ndarray:
+    """Bilinear texture sampling with wrap mode and pixel-center alignment:
+    y = mod(v,1)·H − 0.5, x = mod(u,1)·W − 0.5 (UVMap.__call__)."""
+    h, w = texture.shape[:2]
+    uv = np.mod(uv, 1.0)
+    y = uv[..., 1] * h - 0.5
+    x = uv[..., 0] * w - 0.5
+    y0 = np.floor(y).astype(np.int64)
+    x0 = np.floor(x).astype(np.int64)
+    fy = (y - y0)[..., None]
+    fx = (x - x0)[..., None]
+
+    def at(yy, xx):
+        return texture[np.mod(yy, h), np.mod(xx, w)]
+
+    top = at(y0, x0) * (1 - fx) + at(y0, x0 + 1) * fx
+    bot = at(y0 + 1, x0) * (1 - fx) + at(y0 + 1, x0 + 1) * fx
+    return top * (1 - fy) + bot * fy
+
+
+def clean_mesh_uv(triangle_uvs: np.ndarray) -> np.ndarray:
+    """(F, 3, 2): wrap to [0,1); degenerate all-identical-uv triangles get a
+    small synthetic patch at the texture center (mesh_utils.py:13-36)."""
+    uvs = triangle_uvs.copy()
+    same = np.all(uvs[:, 0] == uvs[:, 1], axis=-1) & np.all(
+        uvs[:, 0] == uvs[:, 2], axis=-1
+    )
+    uvs[same, 0] = [0.5, 0.5]
+    uvs[same, 1] = [0.5, 0.51]
+    uvs[same, 2] = [0.51, 0.5]
+    return uvs - np.floor(uvs)
+
+
+def clean_texture(img: np.ndarray) -> np.ndarray:
+    """Gray/alpha textures -> rgb float [0,1] (mesh_utils.py:39-68)."""
+    img = np.asarray(img)
+    if img.dtype == np.uint8:
+        img = img.astype(np.float32) / 255.0
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, axis=-1)
+    if img.shape[-1] == 4:
+        img = img[..., :3]
+    if img.shape[-1] == 1:
+        img = np.repeat(img, 3, axis=-1)
+    return img.astype(np.float32)
+
+
+# --------------------------------------------------------------------------
+# OBJ loading (replaces o3d.io.read_triangle_mesh for the benchmark path)
+# --------------------------------------------------------------------------
+
+
+def load_obj(path: str, flip_texture_v: bool = True):
+    """Minimal OBJ+MTL loader: v/vt/vn/f (+usemtl with map_Kd or Kd).
+
+    Returns dict with vertices (V,3), triangles (F,3), triangle_uvs
+    (F,3,2) or None, vertex_normals (V,3) or None, textures [list of
+    (h,w,3) float], material_ids (F,).
+    """
+    verts, uvs, norms = [], [], []
+    faces = []  # (vidx3, vtidx3, vnidx3, mat)
+    materials: T.List[np.ndarray] = []
+    mat_index: T.Dict[str, int] = {}
+    cur_mat = -1
+    mtl_colors: T.Dict[str, T.Optional[np.ndarray]] = {}
+
+    def load_mtl(mtl_path):
+        if not os.path.exists(mtl_path):
+            return
+        name = None
+        for line in open(mtl_path, errors="replace"):
+            ps = line.split()
+            if not ps:
+                continue
+            if ps[0] == "newmtl":
+                name = ps[1]
+                mtl_colors[name] = None
+            elif ps[0] == "Kd" and name:
+                if mtl_colors.get(name) is None:
+                    c = np.array([float(x) for x in ps[1:4]], np.float32)
+                    mtl_colors[name] = np.tile(c, (2, 2, 1))
+            elif ps[0] == "map_Kd" and name:
+                tex_path = os.path.join(os.path.dirname(mtl_path), ps[-1])
+                if os.path.exists(tex_path):
+                    from ..io.image import read_png
+
+                    try:
+                        import imageio.v2 as iio
+
+                        img = np.asarray(iio.imread(tex_path))
+                    except Exception:
+                        img = read_png(tex_path)
+                    img = clean_texture(img)
+                    if flip_texture_v:
+                        img = img[::-1].copy()
+                    mtl_colors[name] = img
+
+    base = os.path.dirname(path)
+    for line in open(path, errors="replace"):
+        ps = line.split()
+        if not ps:
+            continue
+        if ps[0] == "v":
+            verts.append([float(x) for x in ps[1:4]])
+        elif ps[0] == "vt":
+            uvs.append([float(ps[1]), float(ps[2])])
+        elif ps[0] == "vn":
+            norms.append([float(x) for x in ps[1:4]])
+        elif ps[0] == "mtllib":
+            load_mtl(os.path.join(base, " ".join(ps[1:])))
+        elif ps[0] == "usemtl":
+            nm = ps[1]
+            if nm not in mat_index:
+                mat_index[nm] = len(materials)
+                tex = mtl_colors.get(nm)
+                materials.append(
+                    tex if tex is not None else np.ones((2, 2, 3), np.float32)
+                )
+            cur_mat = mat_index[nm]
+        elif ps[0] == "f":
+            corner = []
+            for p in ps[1:]:
+                comp = p.split("/")
+                vi = int(comp[0])
+                ti = int(comp[1]) if len(comp) > 1 and comp[1] else 0
+                ni = int(comp[2]) if len(comp) > 2 and comp[2] else 0
+                corner.append((vi, ti, ni))
+            for k in range(1, len(corner) - 1):  # fan triangulation
+                faces.append((corner[0], corner[k], corner[k + 1], cur_mat))
+
+    V = np.asarray(verts, np.float32)
+    nf = len(faces)
+    tris = np.zeros((nf, 3), np.int32)
+    tri_uvs = np.zeros((nf, 3, 2), np.float32) if uvs else None
+    tri_ns = np.zeros((nf, 3), np.int32) if norms else None
+    mats = np.zeros((nf,), np.int32)
+    has_uv = has_n = False
+    for i, (a, b, c, m) in enumerate(faces):
+        for j, (vi, ti, ni) in enumerate((a, b, c)):
+            tris[i, j] = vi - 1 if vi > 0 else len(V) + vi
+            if uvs and ti:
+                tri_uvs[i, j] = uvs[ti - 1 if ti > 0 else len(uvs) + ti]
+                has_uv = True
+            if norms and ni:
+                tri_ns[i, j] = ni - 1 if ni > 0 else len(norms) + ni
+                has_n = True
+        mats[i] = max(m, 0)
+
+    vertex_normals = None
+    if has_n:
+        # map per-corner normals to a per-vertex average
+        vertex_normals = np.zeros((len(V), 3), np.float32)
+        np.add.at(vertex_normals, tris.reshape(-1),
+                  np.asarray(norms, np.float32)[tri_ns.reshape(-1)])
+        norms_len = np.linalg.norm(vertex_normals, axis=-1, keepdims=True)
+        vertex_normals = vertex_normals / np.maximum(norms_len, 1e-12)
+    return {
+        "vertices": V,
+        "triangles": tris,
+        "triangle_uvs": tri_uvs if has_uv else None,
+        "vertex_normals": vertex_normals,
+        "textures": materials or [np.ones((2, 2, 3), np.float32)],
+        "material_ids": mats,
+    }
+
+
+def compute_vertex_normals(vertices, triangles):
+    """Area-weighted vertex normals."""
+    v0 = vertices[triangles[:, 0]]
+    e1 = vertices[triangles[:, 1]] - v0
+    e2 = vertices[triangles[:, 2]] - v0
+    fn = np.cross(e1, e2)
+    vn = np.zeros_like(vertices)
+    for j in range(3):
+        np.add.at(vn, triangles[:, j], fn)
+    return vn / np.maximum(np.linalg.norm(vn, axis=-1, keepdims=True), 1e-12)
+
+
+# --------------------------------------------------------------------------
+# Mesh
+# --------------------------------------------------------------------------
+
+
+class Mesh:
+    def __init__(
+        self,
+        mesh_or_path,
+        scale: T.Optional[float] = 1.0,
+        center_w=(0.0, 0.0, 0.0),
+        clean: bool = True,
+    ):
+        if isinstance(mesh_or_path, str):
+            if mesh_or_path.lower().endswith(".obj"):
+                d = load_obj(mesh_or_path)
+            else:
+                from ..io.ply import read_ply  # PLY meshes: vertices only
+
+                raise NotImplementedError(
+                    "mesh loading supports .obj; got " + mesh_or_path
+                )
+        else:
+            d = dict(mesh_or_path)
+        self.vertices = np.asarray(d["vertices"], np.float32)
+        self.triangles = np.asarray(d["triangles"], np.int32)
+        self.triangle_uvs = d.get("triangle_uvs")
+        self.vertex_normals = d.get("vertex_normals")
+        self.textures = [clean_texture(t) for t in d.get("textures", [])]
+        self.material_ids = d.get(
+            "material_ids", np.zeros((len(self.triangles),), np.int32)
+        )
+
+        # preprocess (mesh_utils.preprocess_mesh)
+        if center_w is not None and len(self.vertices):
+            lo, hi = self.vertices.min(0), self.vertices.max(0)
+            self.vertices = self.vertices + (
+                np.asarray(center_w, np.float32) - (lo + hi) / 2.0
+            )
+        if scale is not None and len(self.vertices):
+            lo, hi = self.vertices.min(0), self.vertices.max(0)
+            s = np.max((hi - lo) / 2.0)
+            if s > 0:
+                self.vertices = self.vertices * (scale / s)
+        if clean and self.triangle_uvs is not None:
+            self.triangle_uvs = clean_mesh_uv(self.triangle_uvs)
+
+        if self.vertex_normals is None and len(self.vertices):
+            self.vertex_normals = compute_vertex_normals(
+                self.vertices, self.triangles
+            )
+
+        self._scene = None  # built lazily
+
+    # ---- ray casting -----------------------------------------------------
+
+    def _cast(self, origins, dirs):
+        if self._scene is None:
+            try:
+                from ..native_bindings import NativeRaycaster
+
+                self._scene = NativeRaycaster(self.vertices, self.triangles)
+            except Exception:
+                self._scene = "numpy"
+        if self._scene == "numpy":
+            from ..native_bindings import numpy_cast
+
+            return numpy_cast(self.vertices, self.triangles, origins, dirs)
+        return self._scene.cast(origins, dirs)
+
+    def get_ray_intersection(self, ray: Ray) -> dict:
+        """(structures.py:3708-3794). Returns dict(ray_rgbs, ray_ts,
+        surface_normals_w, hit_map) as numpy arrays shaped (b, *m, ·)."""
+        o = np.asarray(ray.origins_w, np.float32)
+        d = np.asarray(ray.directions_w, np.float32)
+        shape = o.shape[:-1]
+        t, prim, u, v = self._cast(o.reshape(-1, 3), d.reshape(-1, 3))
+        hit = np.isfinite(t)
+        prim_safe = np.where(hit, prim, 0)
+        bary = np.stack([1 - u - v, u, v], axis=-1)  # (R, 3)
+
+        # rgb via texture uv interp (plib/render.py:96-180) or white
+        if self.triangle_uvs is not None and self.textures:
+            vert_uv = self.triangle_uvs[prim_safe]  # (R, 3, 2)
+            uvq = np.sum(bary[..., None] * vert_uv, axis=-2)  # (R, 2)
+            mats = self.material_ids[prim_safe]
+            rgb = np.zeros((len(t), 3), np.float32)
+            for mid, tex in enumerate(self.textures):
+                sel = mats == mid
+                if sel.any():
+                    rgb[sel] = sample_texture(tex, uvq[sel])
+            rgb *= hit[:, None]
+        else:
+            rgb = np.ones((len(t), 3), np.float32)
+
+        # vertex-normal interpolation (plib/render.py:183-223)
+        vn = self.vertex_normals[self.triangles[prim_safe]]  # (R, 3, 3)
+        normals = np.sum(bary[..., None] * vn, axis=-2)
+        normals *= hit[:, None]
+        norm = np.linalg.norm(normals, axis=-1, keepdims=True)
+        normals = np.divide(normals, norm, out=np.zeros_like(normals),
+                            where=norm != 0)
+        # flip toward ray origin (structures.py:3777-3780)
+        dirs_flat = d.reshape(-1, 3)
+        normals = normals * (
+            -1 * np.sign(np.sum(normals * dirs_flat, axis=-1, keepdims=True))
+        )
+
+        return {
+            "ray_rgbs": rgb.reshape(*shape, 3),
+            "ray_ts": t.reshape(shape),
+            "surface_normals_w": normals.reshape(*shape, 3),
+            "hit_map": hit.astype(np.float32).reshape(shape),
+        }
+
+    # ---- RGBD rendering (structures.py:3542-3607, ray_cast method) --------
+
+    def get_rgbd_image(self, camera: Camera, render_method: str = "ray_cast"):
+        if render_method != "ray_cast":
+            raise NotImplementedError(render_method)
+        o, d = camera.generate_camera_rays(subsample=1, offsets="center")
+        res = self.get_ray_intersection(Ray(origins_w=o, directions_w=d))
+        # z-depth: t is distance along the (unit) ray; z = t·(d·z_axis_cam)
+        H_c2w = np.asarray(camera.H_c2w)
+        zaxis = H_c2w[..., :3, 2]  # (b, q, 3)
+        dirs = np.asarray(d)
+        cosz = np.sum(dirs * zaxis[:, :, None, None, :], axis=-1)
+        z = np.where(np.isfinite(res["ray_ts"]), res["ray_ts"] * cosz, np.inf)
+        from .rgbd_image import RGBDImage
+
+        return RGBDImage(
+            rgb=res["ray_rgbs"],
+            depth=z,
+            normal_w=res["surface_normals_w"],
+            hit_map=res["hit_map"],
+            camera=camera,
+        )
+
+    # ---- sampling (structures.py:3796-3947) -------------------------------
+
+    def _sample_uniform(self, num_points: int, rng) -> T.Tuple[np.ndarray, ...]:
+        v0 = self.vertices[self.triangles[:, 0]]
+        e1 = self.vertices[self.triangles[:, 1]] - v0
+        e2 = self.vertices[self.triangles[:, 2]] - v0
+        area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+        p = area / area.sum()
+        tri = rng.choice(len(area), size=num_points, p=p)
+        r1 = rng.rand(num_points)
+        r2 = rng.rand(num_points)
+        # standard uniform barycentric sampling
+        a = 1 - np.sqrt(r1)
+        b = np.sqrt(r1) * (1 - r2)
+        c = 1 - a - b
+        xyz = (
+            a[:, None] * self.vertices[self.triangles[tri, 0]]
+            + b[:, None] * self.vertices[self.triangles[tri, 1]]
+            + c[:, None] * self.vertices[self.triangles[tri, 2]]
+        )
+        bary = np.stack([a, b, c], axis=-1)
+        if self.triangle_uvs is not None and self.textures:
+            uvq = np.sum(bary[..., None] * self.triangle_uvs[tri], axis=-2)
+            mats = self.material_ids[tri]
+            rgb = np.zeros((num_points, 3), np.float32)
+            for mid, tex in enumerate(self.textures):
+                sel = mats == mid
+                if sel.any():
+                    rgb[sel] = sample_texture(tex, uvq[sel])
+        else:
+            rgb = np.ones((num_points, 3), np.float32)
+        vn = self.vertex_normals[self.triangles[tri]]
+        nrm = np.sum(bary[..., None] * vn, axis=-2)
+        nrm /= np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
+        return xyz.astype(np.float32), rgb, nrm.astype(np.float32)
+
+    def sample_point_cloud(
+        self, num_points: int, method: str = "poisson_disk", seed: int = 0,
+        quantize_scale: float = 448.0, quantize_offset: float = 512.0,
+    ) -> PointCloud:
+        rng = np.random.RandomState(seed)
+        if method == "uniform":
+            xyz, rgb, nrm = self._sample_uniform(num_points, rng)
+        elif method == "uniform_quantized":
+            # (structures.py:3854-3899): quantize then dedup
+            xyz, rgb, nrm = self._sample_uniform(num_points, rng)
+            q = np.round(xyz * quantize_scale) + quantize_offset
+            _, idx = np.unique(
+                (q[:, 0] * 2048 + q[:, 1]) * 2048 + q[:, 2], return_index=True
+            )
+            xyz, rgb, nrm = q[idx], rgb[idx], nrm[idx]
+        elif method == "poisson_disk":
+            # approximation: 4x oversample + voxel-grid thinning (first-wins)
+            xyz, rgb, nrm = self._sample_uniform(num_points * 4, rng)
+            span = xyz.max(0) - xyz.min(0)
+            cell = (np.prod(span.astype(np.float64)) / max(num_points, 1)) ** (
+                1.0 / 3.0
+            )
+            q = np.floor((xyz - xyz.min(0)) / max(cell, 1e-9))
+            _, idx = np.unique(
+                (q[:, 0] * 4096 + q[:, 1]) * 4096 + q[:, 2], return_index=True
+            )
+            idx = idx[:num_points]
+            xyz, rgb, nrm = xyz[idx], rgb[idx], nrm[idx]
+        elif method == "uniform_camera":
+            # (structures.py:3901-3941): camera sphere + ray cast + unproject
+            from scipy.stats import qmc
+
+            n_cams = 26
+            side = int(np.ceil(np.sqrt(num_points / n_cams / 0.3)))
+            sampler = qmc.LatinHypercube(d=2, seed=seed)
+            sph = sampler.random(n=n_cams)
+            theta = sph[:, 0] * 2 * np.pi
+            phi = np.arccos(1 - 2 * sph[:, 1])
+            r = 2.5
+            eyes = np.stack(
+                [
+                    r * np.sin(phi) * np.cos(theta),
+                    r * np.sin(phi) * np.sin(theta),
+                    r * np.cos(phi),
+                ],
+                axis=-1,
+            ).astype(np.float32)
+            from ..utils import rigid_motion
+            import jax.numpy as jnp
+
+            H = rigid_motion.get_H_c2w_lookat(
+                jnp.asarray(eyes), jnp.zeros((n_cams, 3)),
+                jnp.asarray(np.tile([0.0, 1.0, 0.0], (n_cams, 1))),
+            )
+            from .camera import derive_camera_intrinsics
+
+            K = derive_camera_intrinsics(side, side, 60.0)
+            cam = Camera(
+                H_c2w=H[None], intrinsic=jnp.broadcast_to(K, (1, n_cams, 3, 3)),
+                width_px=side, height_px=side,
+            )
+            rgbd = self.get_rgbd_image(cam)
+            pcd = rgbd.get_pcd()
+            return pcd
+        else:
+            raise NotImplementedError(method)
+        return PointCloud.from_numpy(xyz, rgb, nrm)

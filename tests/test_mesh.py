@@ -1,0 +1,143 @@
+"""Mesh / ray tracer / RGBD unprojection tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from gpcr_tpu.structures.camera import Camera, derive_camera_intrinsics
+from gpcr_tpu.structures.mesh import Mesh, sample_texture
+from gpcr_tpu.structures.ray import Ray
+from gpcr_tpu.utils import rigid_motion
+
+
+def quad_mesh(z=0.0, size=1.0, texture=None):
+    """Two-triangle quad in the z=const plane facing -z."""
+    s = size
+    verts = np.array(
+        [[-s, -s, z], [s, -s, z], [s, s, z], [-s, s, z]], np.float32
+    )
+    tris = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    uvs = np.array(
+        [
+            [[0, 0], [1, 0], [1, 1]],
+            [[0, 0], [1, 1], [0, 1]],
+        ],
+        np.float32,
+    )
+    return {
+        "vertices": verts,
+        "triangles": tris,
+        "triangle_uvs": uvs,
+        "textures": [texture] if texture is not None else [],
+        "material_ids": np.zeros(2, np.int32),
+    }
+
+
+def test_ray_intersection_hits_and_depth():
+    mesh = Mesh(quad_mesh(z=0.0), scale=None, center_w=None)
+    # rays from z=-2 toward +z
+    n = 5
+    origins = np.zeros((1, n, 3), np.float32)
+    origins[..., 2] = -2.0
+    origins[0, :, 0] = np.linspace(-0.5, 0.5, n)
+    dirs = np.zeros((1, n, 3), np.float32)
+    dirs[..., 2] = 1.0
+    res = mesh.get_ray_intersection(Ray(jnp.asarray(origins), jnp.asarray(dirs)))
+    np.testing.assert_allclose(res["ray_ts"][0], 2.0, atol=1e-5)
+    np.testing.assert_array_equal(res["hit_map"][0], 1.0)
+    # normals flipped toward ray origin => -z
+    np.testing.assert_allclose(
+        res["surface_normals_w"][0], np.tile([0, 0, -1.0], (n, 1)), atol=1e-5
+    )
+    # miss
+    origins[0, 0, 0] = 5.0
+    res = mesh.get_ray_intersection(Ray(jnp.asarray(origins), jnp.asarray(dirs)))
+    assert res["hit_map"][0, 0] == 0.0
+    assert np.isinf(res["ray_ts"][0, 0])
+
+
+def test_texture_interpolation_quadrants():
+    # texture: 2x2 distinct colors; sample centers of each quadrant
+    tex = np.array(
+        [[[1, 0, 0], [0, 1, 0]], [[0, 0, 1], [1, 1, 0]]], np.float32
+    )
+    mesh = Mesh(quad_mesh(z=0.0, texture=tex), scale=None, center_w=None,
+                clean=False)
+    # uv (0.25, 0.25) is exactly texel (0,0) center
+    origins = np.array([[[-0.5, -0.5, -2.0]]], np.float32)  # uv ~ (0.25, 0.25)
+    dirs = np.array([[[0.0, 0.0, 1.0]]], np.float32)
+    res = mesh.get_ray_intersection(Ray(jnp.asarray(origins), jnp.asarray(dirs)))
+    np.testing.assert_allclose(res["ray_rgbs"][0, 0], [1, 0, 0], atol=1e-5)
+
+
+def test_sample_texture_bilinear_wrap():
+    tex = np.zeros((2, 2, 1), np.float32)
+    tex[0, 0] = 1.0
+    # exact texel center
+    assert np.isclose(sample_texture(tex, np.array([0.25, 0.25]))[0], 1.0)
+    # halfway between texels horizontally
+    assert np.isclose(sample_texture(tex, np.array([0.5, 0.25]))[0], 0.5)
+    # wrap: u=0 is halfway between texel -1 (wrapped) and 0
+    assert np.isclose(sample_texture(tex, np.array([0.0, 0.25]))[0], 0.5)
+
+
+def test_native_matches_numpy_cast():
+    from gpcr_tpu import native_bindings as nb
+
+    rng = np.random.RandomState(0)
+    verts = rng.randn(30, 3).astype(np.float32)
+    tris = rng.randint(0, 30, (40, 3)).astype(np.int32)
+    origins = rng.randn(100, 3).astype(np.float32) * 2
+    dirs = rng.randn(100, 3).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    t_np, p_np, u_np, v_np = nb.numpy_cast(verts, tris, origins, dirs)
+    if nb.get_raytracer() is None:
+        import pytest
+
+        pytest.skip("no C++ toolchain")
+    rc = nb.NativeRaycaster(verts, tris)
+    t_c, p_c, u_c, v_c = rc.cast(origins, dirs)
+    np.testing.assert_allclose(t_c, t_np, rtol=2e-4, atol=1e-5)
+    hit = np.isfinite(t_np)
+    # same triangle (or an equally-near duplicate); check hit parity + bary
+    np.testing.assert_array_equal(np.isfinite(t_c), hit)
+    np.testing.assert_allclose(u_c[hit], u_np[hit], rtol=1e-3, atol=1e-4)
+
+
+def test_mesh_sampling_methods():
+    tex = np.ones((4, 4, 3), np.float32) * 0.5
+    mesh = Mesh(quad_mesh(texture=tex), scale=1.0)
+    for method in ("uniform", "uniform_quantized", "poisson_disk"):
+        pcd = mesh.sample_point_cloud(512, method=method)
+        n = int(pcd.get_num_valid_points(0))
+        assert n > 100, (method, n)
+        assert np.all(np.isfinite(np.asarray(pcd.xyz_w)))
+        if method == "uniform_quantized":
+            xyz = np.asarray(pcd.xyz_w[0])
+            assert np.allclose(xyz, np.round(xyz))  # integer voxels
+
+
+def test_rgbd_roundtrip_unprojection():
+    """Render a quad with ray_cast, unproject, verify points lie on z=0."""
+    mesh = Mesh(quad_mesh(z=0.0), scale=None, center_w=None)
+    H = rigid_motion.get_H_c2w_lookat(
+        jnp.asarray([0.0, 0.0, -2.0]), jnp.zeros(3), jnp.asarray([0.0, 1.0, 0.0])
+    )
+    K = derive_camera_intrinsics(32, 32, 60.0)
+    cam = Camera(
+        H_c2w=H[None, None], intrinsic=K[None, None], width_px=32, height_px=32
+    )
+    rgbd = mesh.get_rgbd_image(cam)
+    assert np.asarray(rgbd.hit_map).mean() > 0.5
+    pcd = rgbd.get_pcd()
+    mask = np.asarray(pcd.get_valid_mask())[0, :, 0]
+    xyz = np.asarray(pcd.xyz_w)[0][mask]
+    assert len(xyz) > 100
+    np.testing.assert_allclose(xyz[:, 2], 0.0, atol=1e-3)
+    assert np.abs(xyz[:, :2]).max() <= 1.01
+
+
+def test_uniform_camera_sampling():
+    tex = np.ones((4, 4, 3), np.float32) * 0.7
+    mesh = Mesh(quad_mesh(texture=tex), scale=1.0)
+    pcd = mesh.sample_point_cloud(500, method="uniform_camera")
+    assert int(pcd.get_num_valid_points(0)) > 50
