@@ -117,6 +117,16 @@ def ms_ssim(
     x = jnp.asarray(img1, jnp.float32)
     y = jnp.asarray(img2, jnp.float32)
     levels = len(weights)
+    min_dim = min(x.shape[-2], x.shape[-1])
+    feasible = 1
+    while feasible < levels and (min_dim >> feasible) >= win_size:
+        feasible += 1
+    if feasible < levels:
+        # pytorch_msssim asserts min_dim > win*2^4; for smaller images we
+        # truncate to the feasible scale count and renormalize the weights
+        # (documented deviation — only reachable below 176px)
+        weights = tuple(w / sum(weights[:feasible]) for w in weights[:feasible])
+        levels = feasible
     mcs = []  # per-channel cs means, combined per channel before the final
     # average (pytorch_msssim computes the ms-ssim product per (batch,
     # channel) and averages last)
