@@ -44,8 +44,9 @@ class InceptionResNet:
     """Two-branch sparse residual block (model_v2.py:15-65):
     (3³→3³: ch→ch/4→ch/2) ∥ (1³→3³→1³: ch→ch/4→ch/4→ch/2), concat + skip."""
 
-    def __init__(self, channels: int):
+    def __init__(self, channels: int, compute_dtype=None):
         self.ch = channels
+        self.compute_dtype = compute_dtype
 
     def init(self, key):
         ks = jax.random.split(key, 5)
@@ -59,11 +60,18 @@ class InceptionResNet:
         }
 
     def apply(self, params, grid: sparse.SparseGrid, kmap):
+        cdt = self.compute_dtype
+
         def c3(p, g):
-            return sparse.conv(g, kmap, p["kernel"], p["bias"])
+            return sparse.conv(g, kmap, p["kernel"], p["bias"], compute_dtype=cdt)
 
         def c1(p, feats, valid):
-            out = jnp.dot(feats, p["kernel"][0],
+            if cdt is not None:
+                feats = feats.astype(cdt)
+                k = p["kernel"][0].astype(cdt)
+            else:
+                k = p["kernel"][0]
+            out = jnp.dot(feats, k,
                           preferred_element_type=jnp.float32) + p["bias"]
             return out * valid[:, None]
 
@@ -80,10 +88,12 @@ class SparseUNet:
     """3-level sparse U-Net (model_v2.py:67-226)."""
 
     def __init__(self, channels: T.Sequence[int] = (1, 16, 32, 64, 32, 8),
-                 feat_dim: int = 32, block_layers: int = 3):
+                 feat_dim: int = 32, block_layers: int = 3,
+                 compute_dtype=None):
         self.channels = list(channels)
         self.feat_dim = feat_dim
         self.block_layers = block_layers
+        self.compute_dtype = compute_dtype
 
     # ---- params -----------------------------------------------------------
 
@@ -149,25 +159,30 @@ class SparseUNet:
     def apply(self, params, grid: sparse.SparseGrid, plan) -> jnp.ndarray:
         grids, downs, kmaps = plan["grids"], plan["downs"], plan["kmaps"]
 
+        cdt = self.compute_dtype
+
         def conv3x(p, g, kmap):
-            return sparse.conv(g, kmap, p["kernel"], p["bias"])
+            return sparse.conv(g, kmap, p["kernel"], p["bias"],
+                               compute_dtype=cdt)
 
         def down(p, g, lvl):
             parent_slot, octant = downs[lvl]
             return sparse.conv_down(
-                g, grids[lvl + 1], parent_slot, octant, p["kernel"], p["bias"]
+                g, grids[lvl + 1], parent_slot, octant, p["kernel"], p["bias"],
+                compute_dtype=cdt,
             )
 
         def up(p, g_coarse, lvl_fine):
             tgt = grids[lvl_fine]
             return sparse.conv_up_generative(
-                g_coarse, tgt.codes, tgt.num, tgt.stride, p["kernel"], p["bias"]
+                g_coarse, tgt.codes, tgt.num, tgt.stride, p["kernel"],
+                p["bias"], compute_dtype=cdt,
             )
 
         def run_blocks(bparams, g, kmap):
             for i in range(self.block_layers):
                 g = g.replace(
-                    feats=InceptionResNet(g.feats.shape[1]).apply(
+                    feats=InceptionResNet(g.feats.shape[1], cdt).apply(
                         bparams[str(i)], g, kmap
                     )
                 )

@@ -373,6 +373,7 @@ class PCMLRender:
         scale_factor: T.Optional[int] = None, offset: int = 512,
         info: T.Optional[dict] = None, params=None,
         config: R.RasterizeConfig = R.RasterizeConfig(),
+        compute_dtype=None,
     ):
         if ckpt is not None:
             self.params, info = load_pcml(ckpt)
@@ -380,7 +381,7 @@ class PCMLRender:
             assert info is not None
             self.params = params
         self.info = info if isinstance(info, PCMLInfo) else PCMLInfo.from_dict(info)
-        self.model = PCEncoder(self.info)
+        self.model = PCEncoder(self.info, compute_dtype=compute_dtype)
         if self.params is None:
             self.params = self.model.init(jax.random.PRNGKey(0))
         self.voxelized = voxelized
@@ -405,8 +406,12 @@ class PCMLRender:
         rgb = pcd.rgb[0]
         valid = pcd.get_valid_mask()[0, :, 0]
         feats = assemble_input_features(self.info, coords, rgb, self.offset)
-        grid = sparse.quantize_average(coords, feats, valid=valid)
-        plan = self.model.build_plan(grid)
+        # host-side capacity planning bounds every level's static shapes
+        coords_np = np.asarray(coords)[np.asarray(valid)]
+        caps = sparse.plan_capacities(coords_np)
+        grid = sparse.quantize_average(coords, feats, valid=valid,
+                                       capacity=caps[0])
+        plan = self.model.build_plan(grid, level_capacity=caps)
         return self.model.apply(self.params, grid, plan), grid, plan
 
     def render(
