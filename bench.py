@@ -86,15 +86,18 @@ def main():
             config=config, with_normal=False,
         )
 
-    # warmup / compile
+    from gpcr_tpu.utils.timing import sync
+
+    # warmup / compile (sync forces a D2H barrier: block_until_ready is a
+    # no-op on the axon platform)
     out = render_frame(rp["view_t"][0], rp["full_t"][0], rp["campos"][0])
-    jax.block_until_ready(out)
+    sync(out)
 
     times = []
     for i in range(args.frames):
         t0 = time.perf_counter()
         out = render_frame(rp["view_t"][i], rp["full_t"][i], rp["campos"][i])
-        jax.block_until_ready(out)
+        sync(out)
         times.append((time.perf_counter() - t0) * 1000.0)
 
     ms = float(np.median(times))

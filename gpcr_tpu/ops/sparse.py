@@ -203,7 +203,9 @@ def lookup(codes_sorted: jnp.ndarray, num: jnp.ndarray, queries: jnp.ndarray):
     capacity).
     """
     cap = codes_sorted.shape[0]
-    pos = jnp.searchsorted(codes_sorted, queries)
+    # method='sort' (merge-based) is ~8x faster than the default binary
+    # search on TPU at these sizes (random gathers cost ~9ns/element)
+    pos = jnp.searchsorted(codes_sorted, queries, method="sort")
     pos_c = jnp.clip(pos, 0, cap - 1)
     found = (codes_sorted[pos_c] == queries) & (pos_c < num) & (queries != SENTINEL)
     return jnp.where(found, pos_c, cap), found

@@ -50,28 +50,60 @@ def quat_to_rotmat(q):
 
 def compute_cov3d(scales, scale_modifier, quats):
     """Σ = R · diag(s²) · Rᵀ, packed upper-triangular (..., 6) as
-    (xx, xy, xz, yy, yz, zz) (forward.cu:121-155)."""
-    R = quat_to_rotmat(quats)
-    s = scales * scale_modifier
-    M = R * s[..., None, :]  # R @ diag(s)
-    sigma = jnp.matmul(M, jnp.swapaxes(M, -1, -2), precision=_HI)
+    (xx, xy, xz, yy, yz, zz) (forward.cu:121-155).
+
+    Written as explicit elementwise ops: batched (N, 3, 3) matmuls lower to
+    catastrophically under-utilized MXU calls on TPU (~100x slower than VPU
+    elementwise for this shape)."""
+    r, x, y, z = quats[..., 0], quats[..., 1], quats[..., 2], quats[..., 3]
+    m = (
+        jnp.stack(
+            [
+                1 - 2 * (y * y + z * z), 2 * (x * y - r * z), 2 * (x * z + r * y),
+                2 * (x * y + r * z), 1 - 2 * (x * x + z * z), 2 * (y * z - r * x),
+                2 * (x * z - r * y), 2 * (y * z + r * x), 1 - 2 * (x * x + y * y),
+            ],
+            axis=-1,
+        )
+        * jnp.tile(scales * scale_modifier, (1,) * (scales.ndim - 1) + (3,))
+    )
+    # rows of M = R * diag(s); sigma_ij = sum_k M_ik M_jk
+    m00, m01, m02 = m[..., 0], m[..., 1], m[..., 2]
+    m10, m11, m12 = m[..., 3], m[..., 4], m[..., 5]
+    m20, m21, m22 = m[..., 6], m[..., 7], m[..., 8]
     return jnp.stack(
         [
-            sigma[..., 0, 0], sigma[..., 0, 1], sigma[..., 0, 2],
-            sigma[..., 1, 1], sigma[..., 1, 2], sigma[..., 2, 2],
+            m00 * m00 + m01 * m01 + m02 * m02,
+            m00 * m10 + m01 * m11 + m02 * m12,
+            m00 * m20 + m01 * m21 + m02 * m22,
+            m10 * m10 + m11 * m11 + m12 * m12,
+            m10 * m20 + m11 * m21 + m12 * m22,
+            m20 * m20 + m21 * m21 + m22 * m22,
         ],
         axis=-1,
     )
 
 
 def transform_point_4x3(p, matrix_t):
-    """[p, 1] @ M[:, :3] (auxiliary.h:58-66)."""
-    return jnp.matmul(p, matrix_t[:3, :3], precision=_HI) + matrix_t[3, :3]
+    """[p, 1] @ M[:, :3] (auxiliary.h:58-66). Elementwise (VPU) on TPU."""
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    cols = [
+        x * matrix_t[0, j] + y * matrix_t[1, j] + z * matrix_t[2, j]
+        + matrix_t[3, j]
+        for j in range(3)
+    ]
+    return jnp.stack(cols, axis=-1)
 
 
 def transform_point_4x4(p, matrix_t):
-    """[p, 1] @ M (auxiliary.h:68-77)."""
-    return jnp.matmul(p, matrix_t[:3, :], precision=_HI) + matrix_t[3, :]
+    """[p, 1] @ M (auxiliary.h:68-77). Elementwise (VPU) on TPU."""
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    cols = [
+        x * matrix_t[0, j] + y * matrix_t[1, j] + z * matrix_t[2, j]
+        + matrix_t[3, j]
+        for j in range(4)
+    ]
+    return jnp.stack(cols, axis=-1)
 
 
 def compute_cov2d(mean3d, focal_x, focal_y, tan_fovx, tan_fovy, cov3d, viewmatrix):
@@ -94,25 +126,36 @@ def compute_cov2d(mean3d, focal_x, focal_y, tan_fovx, tan_fovy, cov3d, viewmatri
     tx = jnp.clip(txtz, -limx, limx) * tz
     ty = jnp.clip(tytz, -limy, limy) * tz
 
-    # EWA Jacobian (2x3 rows of forward.cu:89-92's J, transposed glm layout)
-    zero = jnp.zeros_like(tz)
-    J = jnp.stack(
-        [
-            jnp.stack([focal_x / tz, zero, -(focal_x * tx) / (tz * tz)], -1),
-            jnp.stack([zero, focal_y / tz, -(focal_y * ty) / (tz * tz)], -1),
-        ],
-        axis=-2,
-    )  # (N, 2, 3)
+    # Fully elementwise EWA chain (see compute_cov3d note on batched tiny
+    # matmuls). J rows (2x3): [fx/tz, 0, -fx·tx/tz²], [0, fy/tz, -fy·ty/tz²].
+    j00 = focal_x / tz
+    j02 = -(focal_x * tx) / (tz * tz)
+    j11 = focal_y / tz
+    j12 = -(focal_y * ty) / (tz * tz)
 
-    R_w2c = viewmatrix[:3, :3].T  # (3, 3)
-    Vrk = unpack_sym6(cov3d)  # (N, 3, 3)
-    # cov = J · (R Σ Rᵀ) · Jᵀ  == top-left 2x2 of forward.cu:106's Tᵀ·Vrkᵀ·T
-    M = jnp.matmul(J, R_w2c, precision=_HI)  # (N, 2, 3)
-    cov = jnp.matmul(jnp.matmul(M, Vrk, precision=_HI),
-                     jnp.swapaxes(M, -1, -2), precision=_HI)  # (N, 2, 2)
-    return jnp.stack(
-        [cov[..., 0, 0] + 0.3, cov[..., 0, 1], cov[..., 1, 1] + 0.3], axis=-1
-    )
+    # rows of M = J @ R_w2c, with R_w2c = viewmatrix[:3,:3].T (scalar consts)
+    w = viewmatrix  # w[j][i] = R_w2c[i, j]
+    a0 = j00 * w[0, 0] + j02 * w[0, 2]
+    a1 = j00 * w[1, 0] + j02 * w[1, 2]
+    a2 = j00 * w[2, 0] + j02 * w[2, 2]
+    b0 = j11 * w[0, 1] + j12 * w[0, 2]
+    b1 = j11 * w[1, 1] + j12 * w[1, 2]
+    b2 = j11 * w[2, 1] + j12 * w[2, 2]
+
+    # cov = M · Vrk · Mᵀ with Vrk packed (xx, xy, xz, yy, yz, zz)
+    xx, xy, xz = cov3d[..., 0], cov3d[..., 1], cov3d[..., 2]
+    yy, yz, zz = cov3d[..., 3], cov3d[..., 4], cov3d[..., 5]
+    # v_a = Vrk @ a, v_b = Vrk @ b
+    va0 = xx * a0 + xy * a1 + xz * a2
+    va1 = xy * a0 + yy * a1 + yz * a2
+    va2 = xz * a0 + yz * a1 + zz * a2
+    vb0 = xx * b0 + xy * b1 + xz * b2
+    vb1 = xy * b0 + yy * b1 + yz * b2
+    vb2 = xz * b0 + yz * b1 + zz * b2
+    c00 = a0 * va0 + a1 * va1 + a2 * va2
+    c01 = a0 * vb0 + a1 * vb1 + a2 * vb2
+    c11 = b0 * vb0 + b1 * vb1 + b2 * vb2
+    return jnp.stack([c00 + 0.3, c01, c11 + 0.3], axis=-1)
 
 
 def unpack_sym6(c6):

@@ -41,6 +41,7 @@ from ..structures.pointcloud import PointCloud
 from ..structures.trajectory import CameraTrajectory
 from ..utils import rigid_motion
 from ..utils import sh as sh_utils
+from ..utils.timing import sync as _sync
 
 
 # --------------------------------------------------------------------------
@@ -322,7 +323,7 @@ class SimpleRender:
             out_h=cam.height_px, out_w=cam.width_px,
             sh_degree=sh_deg, config=self.config, with_normal=False,
         )
-        jax.block_until_ready(out)
+        _sync(out)
         rgb_time = time.time() - t0
         print(
             "model time: %.3f sec, rgb time: %.3f sec" % (model_time, rgb_time),
@@ -427,10 +428,10 @@ class PCMLRender:
         # warmup then timed network pass (simple_raw_render.py:372-379)
         encode_fn = lambda: self.encode(pcd, input_offset)
         sp, grid, plan = encode_fn()
-        jax.block_until_ready(sp)
+        _sync(sp)
         t0 = time.time()
         sp, grid, plan = encode_fn()
-        jax.block_until_ready(sp)
+        _sync(sp)
         model_time = time.time() - t0
 
         means = pcgc_rescale(sp.primitives, self.offset, self.scale_factor)
@@ -464,7 +465,7 @@ class PCMLRender:
             sh_degree=self.info.sh_deg, config=self.config,
             with_normal=with_normal,
         )
-        jax.block_until_ready(out)
+        _sync(out)
         rgb_time = time.time() - t0
         print(
             "model time: %.3f sec, rgb time: %.3f sec" % (model_time, rgb_time),
