@@ -197,20 +197,23 @@ def tile_bin(prep: Preprocessed, num_tiles: int, grid_x: int, config: RasterizeC
 # --------------------------------------------------------------------------
 
 
-def _blend_chunk(carry, ids, in_range, xy_all, conic_all, op_all, feat_all, px, py):
+def _blend_chunk(carry, ids, in_range, packed_all, px, py, channels):
     """Composite one chunk of Gaussians into one tile's pixels.
 
     Exact-semantics vectorization of the renderCUDA inner loop:
     transmittance via cumulative product over the chunk axis; the 1e-4
     early-termination emulated with a crossing mask (the crossing Gaussian is
     NOT composited and T is NOT updated past it — forward.cu:349-354).
+    ``packed_all`` holds all per-gaussian data as one row — a single gather
+    per chunk instead of four.
     """
     T_run, acc, dead = carry  # (P,), (P, C), (P,) bool
 
-    xy = xy_all[ids]  # (G, 2)
-    con = conic_all[ids]  # (G, 3)
-    op = op_all[ids]  # (G,)
-    feat = feat_all[ids]  # (G, C)
+    rows = packed_all[ids]  # (G, 6 + C)
+    xy = rows[:, 0:2]
+    con = rows[:, 2:5]
+    op = rows[:, 5]
+    feat = rows[:, 6 : 6 + channels]
 
     dx = xy[:, 0:1] - px[None, :]  # (G, P)
     dy = xy[:, 1:2] - py[None, :]
@@ -240,7 +243,7 @@ def _blend_chunk(carry, ids, in_range, xy_all, conic_all, op_all, feat_all, px, 
 
 
 def _blend_one_tile(
-    tile_idx, start, end, sorted_gidx, xy_all, conic_all, op_all, feat_all,
+    tile_idx, start, end, sorted_gidx, packed_all,
     grid_x, config: RasterizeConfig, channels: int,
 ):
     cx = config.chunk_size
@@ -262,9 +265,7 @@ def _blend_one_tile(
     def chunk_step(c, carry):
         ids = jax.lax.dynamic_slice(sorted_gidx, (start + c * cx,), (cx,))
         in_range = (start + c * cx + jnp.arange(cx)) < end
-        return _blend_chunk(
-            carry, ids, in_range, xy_all, conic_all, op_all, feat_all, px, py
-        )
+        return _blend_chunk(carry, ids, in_range, packed_all, px, py, channels)
 
     init = (
         jnp.ones((p,), jnp.float32),
@@ -316,19 +317,20 @@ def blend(
     num_tiles = grid_x * grid_y
     channels = prep.features.shape[-1]
 
-    # one zero/sentinel row so sentinel gidx == N is inert
-    xy_all = jnp.concatenate([prep.mean2d, jnp.zeros((1, 2))], axis=0)
-    conic_all = jnp.concatenate([prep.conic, jnp.zeros((1, 3))], axis=0)
-    op_all = jnp.concatenate([prep.opacity, jnp.zeros((1,))], axis=0)
-    feat_all = jnp.concatenate(
-        [prep.features, jnp.zeros((1, channels))], axis=0
+    # all per-gaussian data in one packed row (single gather per chunk);
+    # one zero sentinel row so sentinel gidx == N is inert
+    packed_all = jnp.concatenate(
+        [prep.mean2d, prep.conic, prep.opacity[:, None], prep.features],
+        axis=-1,
+    )
+    packed_all = jnp.concatenate(
+        [packed_all, jnp.zeros((1, 6 + channels))], axis=0
     )
 
     def one(tile_idx):
         return _blend_one_tile(
             tile_idx, starts[tile_idx], starts[tile_idx + 1],
-            sorted_gidx, xy_all, conic_all, op_all, feat_all,
-            grid_x, config, channels,
+            sorted_gidx, packed_all, grid_x, config, channels,
         )
 
     # Process tiles in descending-count order: the chunk loop inside a

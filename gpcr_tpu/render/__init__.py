@@ -7,3 +7,9 @@ from .renderer import (
     generate_cam,
     load_pcml,
 )
+
+
+def _get_pallas_raster():
+    from ..ops.rasterize_pallas import rasterize_gaussians_pallas
+
+    return rasterize_gaussians_pallas

@@ -162,7 +162,7 @@ def _render_one_view(
     view_t, full_t, campos,
     means3d, scales, rotations, opacity, shs, normal, valid,
     bg3, tanfov, height, width, sh_degree, config: R.RasterizeConfig,
-    with_normal: bool,
+    with_normal: bool, use_pallas: bool = False,
 ):
     """Render one view with all output channels fused into one pass."""
     rgb = sh_utils.eval_sh_color(sh_degree, shs, means3d, campos)
@@ -183,11 +183,20 @@ def _render_one_view(
         bg=bg, scale_modifier=1.0, viewmatrix=view_t, projmatrix=full_t,
         sh_degree=sh_degree, campos=campos,
     )
-    color, radii = R.rasterize_gaussians(
-        means3d, opacity, settings,
-        scales=scales, rotations=rotations, colors_precomp=features,
-        valid_mask=valid, config=config,
-    )
+    if use_pallas:
+        from . import _get_pallas_raster
+
+        color, radii = _get_pallas_raster()(
+            means3d, opacity, settings,
+            scales=scales, rotations=rotations, colors_precomp=features,
+            valid_mask=valid, config=config,
+        )
+    else:
+        color, radii = R.rasterize_gaussians(
+            means3d, opacity, settings,
+            scales=scales, rotations=rotations, colors_precomp=features,
+            valid_mask=valid, config=config,
+        )
     return color  # (C, H_ss, W_ss)
 
 
@@ -195,7 +204,7 @@ def _render_one_view(
     jax.jit,
     static_argnames=(
         "height", "width", "out_h", "out_w", "sh_degree", "config",
-        "with_normal",
+        "with_normal", "use_pallas",
     ),
 )
 def render_views_fused(
@@ -203,7 +212,7 @@ def render_views_fused(
     means3d, scales, rotations, opacity, shs, normal, valid,
     bg3, tanfov,
     height: int, width: int, out_h: int, out_w: int, sh_degree: int,
-    config: R.RasterizeConfig, with_normal: bool,
+    config: R.RasterizeConfig, with_normal: bool, use_pallas: bool = False,
 ):
     """All views of one cloud in one jit: lax.map over view matrices, fused
     channels, supersample downscale. Returns dict of (q, out_h, out_w, 3)."""
@@ -213,6 +222,7 @@ def render_views_fused(
         return _render_one_view(
             vt, ft, cp, means3d, scales, rotations, opacity, shs, normal,
             valid, bg3, tanfov, height, width, sh_degree, config, with_normal,
+            use_pallas,
         )
 
     colors = jax.lax.map(one, (view_ts, full_ts, camposes))  # (q, C, H, W)
