@@ -136,6 +136,25 @@ class Camera:
         hw = uv.shape[1:3]
         return o.reshape(b, q, *hw, 3), d.reshape(b, q, *hw, 3)
 
+    # ---- pixel-budget chunking (ref structures.py:1970-2026) -------------
+
+    def split(self, max_pixels: int) -> T.List["Camera"]:
+        """Split the view axis so each chunk renders at most ``max_pixels``
+        (q_chunk * h * w) pixels — the reference's OOM-control chunking."""
+        q = self.H_c2w.shape[1]
+        per_view = self.width_px * self.height_px
+        views_per_chunk = max(1, max_pixels // max(per_view, 1))
+        out = []
+        for s0 in range(0, q, views_per_chunk):
+            s1 = min(s0 + views_per_chunk, q)
+            out.append(
+                self.replace(
+                    H_c2w=self.H_c2w[:, s0:s1],
+                    intrinsic=self.intrinsic[:, s0:s1],
+                )
+            )
+        return out
+
     # ---- interpolation (ref structures.py:2028-2081) ---------------------
 
     def uniformly_sample(self, num_samples: int) -> "Camera":

@@ -252,6 +252,181 @@ class PointCloud:
         out["img_idxs"] = None
         return PointCloud(**out)
 
+    # ---- outlier removal (ref structures.py:764-824) ---------------------------
+
+    def remove_outlier(self, radius: float, min_neighbors: int = 2,
+                       bidx: int = 0) -> "PointCloud":
+        """Drop points with fewer than ``min_neighbors`` other points within
+        ``radius`` (the reference delegates to o3d's radius filter; here a
+        host-side cell-hash counter — exact within the 27-cell neighborhood).
+        Marks outliers invalid (static shapes)."""
+        xyz = np.asarray(self.xyz_w[bidx])
+        mask = np.asarray(self.get_valid_mask()[bidx, :, 0])
+        cell = np.floor(xyz / radius).astype(np.int64)
+        key = (cell[:, 0] * 73856093) ^ (cell[:, 1] * 19349663) ^ (
+            cell[:, 2] * 83492791
+        )
+        order = np.argsort(key)
+        counts = np.zeros(len(xyz), np.int32)
+        from collections import defaultdict
+
+        buckets = defaultdict(list)
+        for i in np.where(mask)[0]:
+            buckets[tuple(cell[i])].append(i)
+        r2 = radius * radius
+        for i in np.where(mask)[0]:
+            c = cell[i]
+            cnt = 0
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    for dz in (-1, 0, 1):
+                        for j in buckets.get((c[0] + dx, c[1] + dy, c[2] + dz), ()):
+                            if j != i and np.sum((xyz[j] - xyz[i]) ** 2) <= r2:
+                                cnt += 1
+                                if cnt >= min_neighbors:
+                                    break
+                        else:
+                            continue
+                        break
+                    else:
+                        continue
+                    break
+            counts[i] = cnt
+        keep = mask & (counts >= min_neighbors)
+        vm = np.asarray(self.get_valid_mask()).copy()
+        vm[bidx, :, 0] = keep
+        return self.replace(valid_mask=jnp.asarray(vm))
+
+    # ---- surfel rasterization (ref structures.py:896-1121) ---------------------
+
+    def rasterize_surfel(
+        self, camera, point_size: int = 1, shading: str = "raw",
+        light_dir=(0.0, 0.0, 1.0), bg_color=1.0, bidx: int = 0,
+    ):
+        """Z-buffer point-splat rendering (the reference uses the o3d
+        visualizer; here a segment-min depth buffer in jnp). shading:
+        'raw' (albedo), 'directional' (lambert |n.l|), 'half' ((n.l+1)/2).
+        Returns an RGBDImage (b=1, q, h, w)."""
+        import jax
+
+        from ..utils.geometry import pinhole_projection
+
+        h, w = camera.height_px, camera.width_px
+        b, q = camera.H_c2w.shape[:2]
+        xyz = self.xyz_w[bidx]
+        rgb = self.rgb[bidx] if self.rgb is not None else jnp.ones_like(xyz)
+        nrm = self.normal_w[bidx] if self.normal_w is not None else None
+        mask = self.get_valid_mask()[bidx, :, 0]
+
+        if shading != "raw" and nrm is not None:
+            ld = jnp.asarray(light_dir, jnp.float32)
+            ld = ld / jnp.linalg.norm(ld)
+            cos = jnp.sum(nrm * ld, axis=-1, keepdims=True)
+            if shading == "directional":
+                shade = jnp.abs(cos)
+            elif shading == "half":
+                shade = (cos + 1.0) / 2.0
+            else:
+                raise NotImplementedError(shading)
+            rgb = rgb * shade
+
+        imgs, depths, hits = [], [], []
+        for iq in range(q):
+            proj = pinhole_projection(
+                xyz[None], camera.intrinsic[bidx, iq][None],
+                camera.H_c2w[bidx, iq][None],
+            )
+            uv = proj["uv"][0]
+            z = proj["z"][0]
+            px = jnp.floor(uv[:, 0]).astype(jnp.int32)
+            py = jnp.floor(uv[:, 1]).astype(jnp.int32)
+            ok = (
+                mask & proj["in_front"][0]
+                & (px >= 0) & (px < w) & (py >= 0) & (py < h)
+            )
+            pid = jnp.where(ok, py * w + px, h * w)
+            zq = jnp.where(ok, z, jnp.inf)
+            import jax as _jax
+
+            zmin = _jax.ops.segment_min(zq, pid, num_segments=h * w + 1)[:-1]
+            zmin_img = zmin.reshape(h, w)
+            win = ok & (z <= zmin[jnp.clip(pid, 0, h * w - 1)] + 1e-6)
+            # winner-takes-pixel color via segment_min on packed (z, idx)
+            key = jnp.where(win, z, jnp.inf)
+            idx_win = _jax.ops.segment_min(
+                jnp.where(win, jnp.arange(xyz.shape[0]), jnp.iinfo(jnp.int32).max),
+                pid, num_segments=h * w + 1,
+            )[:-1]
+            has = idx_win < jnp.iinfo(jnp.int32).max
+            idx_safe = jnp.clip(idx_win, 0, xyz.shape[0] - 1)
+            img = jnp.where(has[:, None], rgb[idx_safe], bg_color)
+            imgs.append(img.reshape(h, w, 3))
+            depths.append(jnp.where(has, zmin, jnp.inf).reshape(h, w))
+            hits.append(has.astype(jnp.float32).reshape(h, w))
+        from .rgbd_image import RGBDImage
+
+        return RGBDImage(
+            rgb=jnp.stack(imgs)[None],
+            depth=jnp.stack(depths)[None],
+            camera=camera[bidx],
+            hit_map=jnp.stack(hits)[None],
+        )
+
+    # ---- meshing (ref structures.py:517-575) -----------------------------------
+
+    def get_mesh(self, method: str = "voxel", cell_width: float = 0.05,
+                 bidx: int = 0):
+        """Point cloud -> mesh. The reference wraps o3d alpha-shape /
+        ball-pivot / poisson reconstruction; those depend on Open3D's C++
+        geometry stack. The native alternative here is voxel surface
+        extraction ('voxel'): occupied-cell boundary faces as quads."""
+        if method != "voxel":
+            raise NotImplementedError(
+                f"'{method}' requires Open3D; use method='voxel'"
+            )
+        xyz = np.asarray(self.xyz_w[bidx])
+        mask = np.asarray(self.get_valid_mask()[bidx, :, 0])
+        xyz = xyz[mask]
+        cells = np.unique(np.floor(xyz / cell_width).astype(np.int64), axis=0)
+        occ = set(map(tuple, cells))
+        verts: list = []
+        tris: list = []
+        vid: dict = {}
+
+        def v_id(p):
+            t = tuple(p)
+            if t not in vid:
+                vid[t] = len(verts)
+                verts.append(np.asarray(p, np.float64) * cell_width)
+            return vid[t]
+
+        face_tables = [
+            ((1, 0, 0), [(1, 0, 0), (1, 1, 0), (1, 1, 1), (1, 0, 1)]),
+            ((-1, 0, 0), [(0, 0, 1), (0, 1, 1), (0, 1, 0), (0, 0, 0)]),
+            ((0, 1, 0), [(0, 1, 0), (0, 1, 1), (1, 1, 1), (1, 1, 0)]),
+            ((0, -1, 0), [(0, 0, 0), (1, 0, 0), (1, 0, 1), (0, 0, 1)]),
+            ((0, 0, 1), [(0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1)]),
+            ((0, 0, -1), [(0, 0, 0), (0, 1, 0), (1, 1, 0), (1, 0, 0)]),
+        ]
+        for c in cells:
+            for normal, corners in face_tables:
+                if tuple(c + np.asarray(normal)) in occ:
+                    continue
+                ids = [v_id(c + np.asarray(k)) for k in corners]
+                tris.append([ids[0], ids[1], ids[2]])
+                tris.append([ids[0], ids[2], ids[3]])
+        from .mesh import Mesh
+
+        return Mesh(
+            {
+                "vertices": np.asarray(verts, np.float32),
+                "triangles": np.asarray(tris, np.int32),
+                "textures": [],
+                "material_ids": np.zeros(len(tris), np.int32),
+            },
+            scale=None, center_w=None,
+        )
+
     # ---- persistence ----------------------------------------------------------
 
     def state_dict(self):
