@@ -48,7 +48,7 @@ class RasterizeConfig(T.NamedTuple):
     tile_x: int = 16
     tile_y: int = 16
     max_dup_per_gaussian: int = 32  # tile-rect cap per splat
-    chunk_size: int = 256  # Gaussians blended per inner step
+    chunk_size: int = 128  # Gaussians blended per inner step (sweep optimum)
     tile_batch: int = 256  # tiles processed per lax.map step
     max_chunks: int = 64  # static bound for the differentiable scan
     differentiable: bool = False
@@ -413,6 +413,12 @@ def rasterize_gaussians(
     sorted_gidx, starts, overflow = tile_bin(prep, num_tiles, grid_x, config)
     color, T_img = blend(prep, sorted_gidx, starts, settings, config)
     radii = prep.radius.astype(jnp.int32)
+    if settings.debug:
+        # reference debug mode: per-stage sync + invariant checks
+        # (CHECK_CUDA / snapshot, auxiliary.h:166-173, dgr/__init__.py:83-90)
+        from ..utils.debug import check_finite
+
+        check_finite((prep.mean2d, prep.conic, color), name="rasterize")
     if return_extra:
         return color, radii, {"final_T": T_img, "dup_overflow": overflow}
     return color, radii
