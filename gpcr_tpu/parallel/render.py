@@ -1,0 +1,108 @@
+"""Multi-chip rendering: tile-space sharding over the device mesh.
+
+The workload's scaling axes are points/tiles/views (SURVEY.md §5 — there is
+no sequence axis). For a SINGLE frame too large or too slow for one chip,
+the natural decomposition is tile-space: every device holds the (small)
+per-gaussian arrays replicated, blends a contiguous slice of the tile grid,
+and the image is assembled from the tile shards — one all_gather over ICI,
+no collectives inside the blend loop.
+
+View-level parallelism (different devices render different views) is just
+``jax.sharding`` on the view axis of ``render_views_fused`` inputs; this
+module covers the harder intra-frame case.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..ops import rasterize as R
+
+
+def rasterize_tile_sharded(
+    means3d,
+    opacities,
+    settings: R.GaussianRasterizationSettings,
+    mesh: Mesh,
+    axis: str = "sp",
+    scales=None,
+    rotations=None,
+    cov3d_precomp=None,
+    shs=None,
+    colors_precomp=None,
+    valid_mask=None,
+    config: R.RasterizeConfig = R.RasterizeConfig(),
+):
+    """Single-frame rasterization with tiles sharded over ``axis``.
+
+    Preprocess + binning run replicated (cheap relative to the blend);
+    each device blends num_tiles / axis_size tiles; the (C, H, W) image is
+    reassembled from the gathered tile shards.
+    """
+    H, W = settings.image_height, settings.image_width
+    grid_x = -(-W // config.tile_x)
+    grid_y = -(-H // config.tile_y)
+    num_tiles = grid_x * grid_y
+    n_shards = mesh.shape[axis]
+    assert num_tiles % n_shards == 0, (num_tiles, n_shards)
+    tiles_local = num_tiles // n_shards
+
+    prep = R.preprocess(
+        means3d, opacities, settings, config,
+        scales=scales, rotations=rotations, cov3d_precomp=cov3d_precomp,
+        shs=shs, colors_precomp=colors_precomp, valid_mask=valid_mask,
+    )
+    sorted_gidx, starts, _ = R.tile_bin(prep, num_tiles, grid_x, config)
+    channels = prep.features.shape[-1]
+
+    packed_all = jnp.concatenate(
+        [prep.mean2d, prep.conic, prep.opacity[:, None], prep.features],
+        axis=-1,
+    )
+    packed_all = jnp.concatenate(
+        [packed_all, jnp.zeros((1, 6 + channels))], axis=0
+    )
+
+    replicated = P(*([None] * 1))
+
+    def shard_fn(packed_all, sorted_gidx, starts):
+        d = jax.lax.axis_index(axis)
+        base = d * tiles_local
+
+        def one(j):
+            tile_idx = (base + j).astype(jnp.int32)
+            return R._blend_one_tile(
+                tile_idx, starts[tile_idx], starts[tile_idx + 1],
+                sorted_gidx, packed_all, grid_x, config, channels,
+            )
+
+        acc, t_run = jax.vmap(one)(jnp.arange(tiles_local))
+        return acc, t_run  # (tiles_local, P, C), (tiles_local, P)
+
+    other_axes = tuple(a for a in mesh.axis_names if a != axis)
+    in_spec = P()
+    acc, t_run = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(in_spec, in_spec, in_spec),
+        out_specs=(P(axis), P(axis)),
+        check_vma=False,
+    )(packed_all, sorted_gidx, starts)
+
+    # assemble (num_tiles, P, C) -> (C, H, W)
+    p = config.tile_x * config.tile_y
+    out = acc + t_run[..., None] * settings.bg[None, None, :]
+    out = out.reshape(grid_y, grid_x, config.tile_y, config.tile_x, channels)
+    out = out.transpose(4, 0, 2, 1, 3).reshape(
+        channels, grid_y * config.tile_y, grid_x * config.tile_x
+    )[:, :H, :W]
+    t_img = t_run.reshape(grid_y, grid_x, config.tile_y, config.tile_x)
+    t_img = t_img.transpose(0, 2, 1, 3).reshape(
+        grid_y * config.tile_y, grid_x * config.tile_x
+    )[:H, :W]
+    return out, prep.radius.astype(jnp.int32), t_img
