@@ -459,3 +459,80 @@ class Mesh:
         else:
             raise NotImplementedError(method)
         return PointCloud.from_numpy(xyz, rgb, nrm)
+
+
+# --------------------------------------------------------------------------
+# UV re-atlas (plib/render.py:851-918 remesh/remesh_file equivalent)
+# --------------------------------------------------------------------------
+
+
+def remesh(mesh: Mesh, atlas_cols: T.Optional[int] = None,
+           margin: float = 0.1) -> Mesh:
+    """Give every triangle a unique UV chart, packed on a square grid.
+
+    The reference wraps xatlas for proper UV unwrapping; xatlas is not in
+    this environment, so this produces a valid (if less space-efficient)
+    per-face atlas: each triangle gets its own grid cell, preserving its
+    2D shape up to uniform scale. Suitable for texture baking.
+    """
+    import math
+
+    f = len(mesh.triangles)
+    cols = atlas_cols or int(math.ceil(math.sqrt(max(f, 1))))
+    rows = int(math.ceil(f / max(cols, 1)))
+    cell_w, cell_h = 1.0 / cols, 1.0 / rows
+
+    v = mesh.vertices
+    tri_uvs = np.zeros((f, 3, 2), np.float32)
+    for i, t in enumerate(mesh.triangles):
+        a, b, c = v[t[0]], v[t[1]], v[t[2]]
+        e1 = b - a
+        e2 = c - a
+        x_axis = e1 / (np.linalg.norm(e1) + 1e-12)
+        n = np.cross(e1, e2)
+        y_axis = np.cross(n, e1)
+        y_axis /= np.linalg.norm(y_axis) + 1e-12
+        p2 = np.array(
+            [[0.0, 0.0], [e1 @ x_axis, e1 @ y_axis], [e2 @ x_axis, e2 @ y_axis]]
+        )
+        lo = p2.min(axis=0)
+        span = max((p2.max(axis=0) - lo).max(), 1e-12)
+        p2 = (p2 - lo) / span  # fit into unit square
+        r, cc = divmod(i, cols)
+        pad = margin
+        tri_uvs[i] = (
+            np.array([cc, r]) + pad + p2 * (1 - 2 * pad)
+        ) * np.array([cell_w, cell_h])
+
+    out = Mesh.__new__(Mesh)
+    out.vertices = mesh.vertices.copy()
+    out.triangles = mesh.triangles.copy()
+    out.triangle_uvs = tri_uvs
+    out.vertex_normals = mesh.vertex_normals
+    out.textures = mesh.textures
+    out.material_ids = mesh.material_ids
+    out._scene = None
+    return out
+
+
+def remesh_file(obj_in: str, obj_out: str):
+    """Load an OBJ, re-atlas its UVs, write it back
+    (plib/render.py:894-918)."""
+    mesh = Mesh(obj_in, scale=None, center_w=None, clean=False)
+    out = remesh(mesh)
+    with open(obj_out, "w") as fh:
+        for p in out.vertices:
+            fh.write(f"v {p[0]} {p[1]} {p[2]}\n")
+        uv_idx = {}
+        lines = []
+        for i, t in enumerate(out.triangles):
+            idxs = []
+            for j in range(3):
+                key = tuple(np.round(out.triangle_uvs[i, j], 6))
+                if key not in uv_idx:
+                    uv_idx[key] = len(uv_idx) + 1
+                    fh.write(f"vt {key[0]} {key[1]}\n")
+                idxs.append((t[j] + 1, uv_idx[key]))
+            lines.append("f " + " ".join(f"{a}/{b}" for a, b in idxs) + "\n")
+        fh.writelines(lines)
+    return obj_out

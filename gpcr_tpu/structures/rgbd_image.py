@@ -147,6 +147,94 @@ class RGBDImage:
             out["hit_map"] = np.asarray(self.hit_map)
         return out
 
+    def save(self, out_dir: str, overwrite: bool = True, gif_fps: float = 10.0,
+             video: bool = False):
+        """PNG tree + optional gif/mp4 of the rgb sequence
+        (structures.py:2691-2949)."""
+        self.save_as_dataset(out_dir, overwrite=overwrite)
+        from ..utils.media import create_gif, create_video
+
+        frames = [np.asarray(self.rgb[0, iq]) for iq in range(self.rgb.shape[1])]
+        if len(frames) > 1:
+            create_gif(frames, os.path.join(out_dir, "rgb.gif"), fps=gif_fps)
+            if video:
+                create_video(frames, os.path.join(out_dir, "rgb.mp4"))
+
+    def save_as_npbgpp(self, out_dir: str):
+        """npbg++-style tree: images/ + per-view camera matrices as npz
+        (structures.py:2950-3057 — reduced to the geometric essentials; the
+        reference format exists to feed the external npbg++ baseline)."""
+        from ..io.image import save_pic
+
+        os.makedirs(out_dir, exist_ok=True)
+        save_pic(np.asarray(self.rgb), os.path.join(out_dir, "images"), "rgb")
+        np.savez(
+            os.path.join(out_dir, "cameras.npz"),
+            H_c2w=np.asarray(self.camera.H_c2w),
+            intrinsic=np.asarray(self.camera.intrinsic),
+            width_px=self.camera.width_px,
+            height_px=self.camera.height_px,
+        )
+
+    def save_as_rtmv(self, out_dir: str):
+        """RTMV-style tree: per-view json (camera_data) + rgb/depth
+        (structures.py:3059-3307 — reduced: exr depth becomes .npy)."""
+        from ..io.image import save_pic
+
+        os.makedirs(out_dir, exist_ok=True)
+        save_pic(np.asarray(self.rgb), out_dir, "rgb")
+        np.save(os.path.join(out_dir, "depth.npy"), np.asarray(self.depth))
+        b, q = self.rgb.shape[:2]
+        K = np.asarray(self.camera.intrinsic)
+        H = np.asarray(self.camera.H_c2w)
+        for iq in range(q):
+            cam = {
+                "camera_data": {
+                    "width": self.camera.width_px,
+                    "height": self.camera.height_px,
+                    "intrinsics": {
+                        "fx": float(K[0, iq, 0, 0]),
+                        "fy": float(K[0, iq, 1, 1]),
+                        "cx": float(K[0, iq, 0, 2]),
+                        "cy": float(K[0, iq, 1, 2]),
+                    },
+                    "cam2world": H[0, iq].tolist(),
+                }
+            }
+            with open(os.path.join(out_dir, f"{iq:05d}.json"), "w") as f:
+                json.dump(cam, f)
+
+    def save_as_llff(self, out_dir: str):
+        """LLFF-style tree: images/ + poses_bounds.npy (N, 17)
+        (structures.py:3308-3479). Row = [3x5 pose matrix (R|t|hwf), near,
+        far]; LLFF camera axes are (down, right, backwards) relative to our
+        (right, down, forward) image convention."""
+        from ..io.image import save_pic
+
+        os.makedirs(out_dir, exist_ok=True)
+        save_pic(np.asarray(self.rgb), os.path.join(out_dir, "images"), "rgb")
+        b, q = self.rgb.shape[:2]
+        H = np.asarray(self.camera.H_c2w)
+        K = np.asarray(self.camera.intrinsic)
+        depth = np.asarray(self.depth)
+        rows = []
+        for iq in range(q):
+            R = H[0, iq, :3, :3]
+            t = H[0, iq, :3, 3]
+            # ours: x right, y down, z forward -> llff: x down, y right, z back
+            R_llff = np.stack([R[:, 1], R[:, 0], -R[:, 2]], axis=1)
+            hwf = np.array(
+                [self.camera.height_px, self.camera.width_px, K[0, iq, 0, 0]]
+            )
+            pose = np.concatenate([R_llff, t[:, None], hwf[:, None]], axis=1)
+            d = depth[0, iq]
+            finite = d[np.isfinite(d) & (d > 0)]
+            near = float(finite.min()) * 0.9 if finite.size else 0.1
+            far = float(finite.max()) * 1.1 if finite.size else 10.0
+            rows.append(np.concatenate([pose.reshape(-1), [near, far]]))
+        np.save(os.path.join(out_dir, "poses_bounds.npy"),
+                np.stack(rows).astype(np.float64))
+
     def save_as_dataset(self, out_dir: str, overwrite: bool = True):
         """Dataset tree: rgb pngs + abs_depth.npy + normal pngs + hitmap pngs
         + camera.json (structures.py:2578-2689 conventions)."""
