@@ -52,6 +52,9 @@ class RasterizeConfig(T.NamedTuple):
     tile_batch: int = 256  # tiles processed per lax.map step
     max_chunks: int = 64  # static bound for the differentiable scan
     differentiable: bool = False
+    # flat/pallas-path static budgets (overflow is detected and reported):
+    k_budget: T.Optional[int] = None  # cap on sorted entries laid out
+    max_active_tiles: T.Optional[int] = None  # cap on non-empty tiles
 
 
 class GaussianRasterizationSettings(T.NamedTuple):

@@ -54,13 +54,25 @@ def tile_bin_aligned(prep: R.Preprocessed, num_tiles: int, grid_x: int,
     n = prep.depth.shape[0]
     sorted_gidx, starts, overflow = R.tile_bin(prep, num_tiles, grid_x, config)
     k_sorted = n * config.max_dup_per_gaussian
+    if config.k_budget is not None and config.k_budget < k_sorted:
+        # valid entries sort before the sentinels, so truncation only drops
+        # data when num_rendered exceeds the budget — flagged as overflow
+        k_sorted = _round_up(config.k_budget, ch)
+        overflow = overflow + jnp.maximum(starts[-1] - k_sorted, 0)
+        sorted_gidx = sorted_gidx[: k_sorted + config.chunk_size]
+        starts = jnp.minimum(starts, k_sorted)
 
     counts = starts[1:] - starts[:-1]
     cpad = ((counts + ch - 1) // ch) * ch
     astarts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(cpad).astype(jnp.int32)]
     )
-    k_static = _round_up(k_sorted + num_tiles * ch, ch)
+    max_active = (
+        num_tiles if config.max_active_tiles is None else config.max_active_tiles
+    )
+    k_static = _round_up(k_sorted + max_active * ch, ch)
+    overflow = overflow + jnp.maximum(astarts[-1] - k_static, 0)
+    astarts = jnp.minimum(astarts, k_static)
 
     # tile id of every aligned slot: scatter tile-start markers, cumsum
     marks = jnp.zeros((k_static + 1,), jnp.int32).at[astarts[:-1]].add(1)
@@ -335,6 +347,143 @@ def rasterize_gaussians_pallas(
     out, t_run = blend_pallas(
         prep, settings.bg, num_tiles, grid_x, config, channels,
         interpret=interpret,
+    )
+    color, _ = assemble_tiles(out, t_run, H, W, config)
+    return color, prep.radius.astype(jnp.int32)
+
+
+# --------------------------------------------------------------------------
+# flat-chunk two-phase blend (XLA fast path, no pallas)
+# --------------------------------------------------------------------------
+
+
+def blend_flat(
+    prep: R.Preprocessed,
+    bg: jnp.ndarray,
+    num_tiles: int,
+    grid_x: int,
+    config: R.RasterizeConfig,
+    channels: int,
+):
+    """Two-phase compositing over the chunk-aligned layout.
+
+    Phase 1 evaluates every chunk INDEPENDENTLY (local exclusive
+    transmittance via a lower-triangular matmul, weights x features on the
+    MXU) — perfectly parallel, no per-tile sequential loop, no lockstep
+    waste. Phase 2 stitches chunks per tile: the true incoming transmittance
+    scales each chunk's color linearly, computed with a per-tile prefix sum
+    of the chunks' log-transmittance totals.
+
+    Semantics: identical to the exact path EXCEPT the T<1e-4 early
+    termination applies at chunk granularity (the chunk containing the
+    crossing composites fully). The deviation is bounded by the remaining
+    transmittance (<1e-4 of feature scale) — negligible against the 0.05 dB
+    parity budget, but use ops.rasterize.blend when bit-level CUDA-ordering
+    equivalence matters.
+
+    Returns (out (num_tiles, P, C), final_T (num_tiles, P)).
+    """
+    p = config.tile_x * config.tile_y
+    ch = config.chunk_size
+    c_pad = max(8, _round_up(channels, 8))
+
+    scal6, featT, chunk_starts, _ = tile_bin_aligned(
+        prep, num_tiles, grid_x, config, c_pad
+    )
+    kc = scal6.shape[0]  # number of chunk blocks (static)
+
+    # block -> tile mapping (chunk_starts are in chunk units, ascending)
+    marks = jnp.zeros((kc + 1,), jnp.int32).at[chunk_starts[:-1]].add(1)
+    tile_of_block = jnp.clip(jnp.cumsum(marks[:kc]) - 1, 0, num_tiles - 1)
+    block_valid = (
+        jnp.arange(kc, dtype=jnp.int32) < chunk_starts[-1]
+    )
+
+    # pixel coordinates per block
+    tx = (tile_of_block % grid_x).astype(jnp.float32)
+    ty = (tile_of_block // grid_x).astype(jnp.float32)
+    lane = jnp.arange(p, dtype=jnp.float32)
+    px = tx[:, None] * config.tile_x + jnp.mod(lane, config.tile_x)[None, :]
+    py = ty[:, None] * config.tile_y + jnp.floor(
+        lane / config.tile_x
+    )[None, :]
+
+    # phase 1: per-block local compositing (all blocks in parallel)
+    xy_x = scal6[:, 0, :, None]  # (Kc, CH, 1)
+    xy_y = scal6[:, 1, :, None]
+    con_x = scal6[:, 2, :, None]
+    con_y = scal6[:, 3, :, None]
+    con_z = scal6[:, 4, :, None]
+    op = scal6[:, 5, :, None]
+
+    dx = xy_x - px[:, None, :]  # (Kc, CH, P)
+    dy = xy_y - py[:, None, :]
+    power = -0.5 * (con_x * dx * dx + con_z * dy * dy) - con_y * dx * dy
+    alpha = jnp.minimum(0.99, op * jnp.exp(power))
+    a = jnp.where((power > 0.0) | (alpha < (1.0 / 255.0)), 0.0, alpha)
+    logom = jnp.log1p(-a)  # om >= 0.01
+
+    # exclusive local cumsum along the gaussian axis: strictly-lower tri
+    gi = jax.lax.broadcasted_iota(jnp.int32, (ch, ch), 0)
+    gj = jax.lax.broadcasted_iota(jnp.int32, (ch, ch), 1)
+    # cum_excl[k, g, p] = sum_{g' < g} logom[k, g', p]
+    cum_excl = jnp.einsum(
+        "gh,khp->kgp", (gj < gi).astype(jnp.float32), logom,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    w_local = a * jnp.exp(cum_excl)  # (Kc, CH, P) local exclusive weights
+    cc = jnp.einsum(
+        "kgp,kgc->kpc", w_local, featT.transpose(0, 2, 1)[..., :channels],
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (Kc, P, C)
+    lc = jnp.sum(logom, axis=1)  # (Kc, P) log-transmittance of the block
+
+    # phase 2: per-tile prefix of log-transmittance over blocks
+    lc_m = jnp.where(block_valid[:, None], lc, 0.0)
+    cumsum_incl = jnp.cumsum(lc_m, axis=0)
+    cumsum_excl = cumsum_incl - lc_m
+    base = jnp.concatenate(
+        [jnp.zeros((1, p)), cumsum_incl], axis=0
+    )[chunk_starts[:-1]]  # (num_tiles, P) cumsum before each tile's blocks
+    log_t_in = cumsum_excl - base[tile_of_block]  # (Kc, P)
+    t_in = jnp.exp(log_t_in)
+    include = block_valid[:, None] & (t_in >= 1e-4)
+    contrib = jnp.where(include[..., None], t_in[..., None] * cc, 0.0)
+    out = jax.ops.segment_sum(contrib, tile_of_block, num_segments=num_tiles)
+    t_total = jax.ops.segment_sum(
+        jnp.where(include, lc_m, 0.0), tile_of_block, num_segments=num_tiles
+    )
+    t_run = jnp.exp(t_total)
+    out = out + t_run[..., None] * bg[None, None, :]
+    return out, t_run
+
+
+def rasterize_gaussians_flat(
+    means3d,
+    opacities,
+    settings: R.GaussianRasterizationSettings,
+    scales=None,
+    rotations=None,
+    cov3d_precomp=None,
+    shs=None,
+    colors_precomp=None,
+    valid_mask=None,
+    config: R.RasterizeConfig = R.RasterizeConfig(),
+):
+    """Fast-path rasterization with the flat-chunk blend."""
+    H, W = settings.image_height, settings.image_width
+    grid_x = -(-W // config.tile_x)
+    grid_y = -(-H // config.tile_y)
+    num_tiles = grid_x * grid_y
+
+    prep = R.preprocess(
+        means3d, opacities, settings, config,
+        scales=scales, rotations=rotations, cov3d_precomp=cov3d_precomp,
+        shs=shs, colors_precomp=colors_precomp, valid_mask=valid_mask,
+    )
+    channels = prep.features.shape[-1]
+    out, t_run = blend_flat(
+        prep, settings.bg, num_tiles, grid_x, config, channels
     )
     color, _ = assemble_tiles(out, t_run, H, W, config)
     return color, prep.radius.astype(jnp.int32)

@@ -263,10 +263,6 @@ class PointCloud:
         xyz = np.asarray(self.xyz_w[bidx])
         mask = np.asarray(self.get_valid_mask()[bidx, :, 0])
         cell = np.floor(xyz / radius).astype(np.int64)
-        key = (cell[:, 0] * 73856093) ^ (cell[:, 1] * 19349663) ^ (
-            cell[:, 2] * 83492791
-        )
-        order = np.argsort(key)
         counts = np.zeros(len(xyz), np.int32)
         from collections import defaultdict
 

@@ -69,3 +69,58 @@ def test_pallas_blend_overdraw_interpret():
     np.testing.assert_allclose(
         np.asarray(c_pl), np.asarray(c_ref), atol=3e-4, rtol=1e-3
     )
+
+
+def test_flat_blend_matches_xla():
+    """Two-phase flat-chunk blend vs exact path (chunk-granular termination
+    bounds the deviation at ~1e-4)."""
+    W = H = 64
+    means, scales, rots, ops_, feats = random_scene(120, seed=1)
+    view_t, full_t, tanfov, campos = make_camera_matrices([0.0, 0.0, -2.5], W, H)
+    bg = jnp.asarray([0.2, 0.3, 0.4])
+    settings = R.GaussianRasterizationSettings(
+        image_height=H, image_width=W, tanfovx=tanfov, tanfovy=tanfov,
+        bg=bg, scale_modifier=1.0, viewmatrix=view_t, projmatrix=full_t,
+        sh_degree=0, campos=campos,
+    )
+    cfg = R.RasterizeConfig(max_dup_per_gaussian=64, chunk_size=64,
+                            tile_batch=4)
+    c_ref, _ = R.rasterize_gaussians(
+        jnp.asarray(means), jnp.asarray(ops_), settings,
+        scales=jnp.asarray(scales), rotations=jnp.asarray(rots),
+        colors_precomp=jnp.asarray(feats), config=cfg,
+    )
+    c_fl, _ = RP.rasterize_gaussians_flat(
+        jnp.asarray(means), jnp.asarray(ops_), settings,
+        scales=jnp.asarray(scales), rotations=jnp.asarray(rots),
+        colors_precomp=jnp.asarray(feats), config=cfg,
+    )
+    np.testing.assert_allclose(
+        np.asarray(c_fl), np.asarray(c_ref), atol=5e-4, rtol=1e-3
+    )
+
+
+def test_flat_blend_budget_overflow_flag():
+    """k_budget smaller than the real entry count must raise the overflow
+    counter (and only then)."""
+    W = H = 64
+    means, scales, rots, ops_, feats = random_scene(120, seed=1)
+    view_t, full_t, tanfov, campos = make_camera_matrices([0.0, 0.0, -2.5], W, H)
+    settings = R.GaussianRasterizationSettings(
+        image_height=H, image_width=W, tanfovx=tanfov, tanfovy=tanfov,
+        bg=jnp.zeros(3), scale_modifier=1.0, viewmatrix=view_t,
+        projmatrix=full_t, sh_degree=0, campos=campos,
+    )
+    cfg_ok = R.RasterizeConfig(max_dup_per_gaussian=64, chunk_size=64,
+                               k_budget=int(1e6))
+    prep = R.preprocess(
+        jnp.asarray(means), jnp.asarray(ops_), settings, cfg_ok,
+        scales=jnp.asarray(scales), rotations=jnp.asarray(rots),
+        colors_precomp=jnp.asarray(feats),
+    )
+    num_tiles = 16
+    _, _, _, ovf = RP.tile_bin_aligned(prep, num_tiles, 4, cfg_ok, 8)
+    assert int(np.asarray(ovf)) == 0
+    cfg_small = cfg_ok._replace(k_budget=64)
+    _, _, _, ovf2 = RP.tile_bin_aligned(prep, num_tiles, 4, cfg_small, 8)
+    assert int(np.asarray(ovf2)) > 0
