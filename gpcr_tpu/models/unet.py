@@ -180,13 +180,20 @@ class SparseUNet:
             )
 
         def run_blocks(bparams, g, kmap):
-            for i in range(self.block_layers):
-                g = g.replace(
-                    feats=InceptionResNet(g.feats.shape[1], cdt).apply(
-                        bparams[str(i)], g, kmap
-                    )
-                )
-            return g
+            # identical-shape blocks run under one lax.scan with stacked
+            # params: traces ONE block instead of block_layers of them
+            # (the unrolled version costs minutes of XLA compile at 800K)
+            block = InceptionResNet(g.feats.shape[1], cdt)
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs),
+                *[bparams[str(i)] for i in range(self.block_layers)],
+            )
+
+            def body(feats, p):
+                return block.apply(p, g.replace(feats=feats), kmap), None
+
+            feats, _ = jax.lax.scan(body, g.feats, stacked)
+            return g.replace(feats=feats)
 
         g0 = grid
         out_x = _relu(conv3x(params["conv0"], g0, kmaps[0]))

@@ -154,3 +154,41 @@ def test_torch_state_dict_conversion():
         1, 8, 2,
     )
     assert "default_quaternion" not in params
+
+
+def test_pcml_checkpoint_roundtrip_render(tmp_path):
+    """Full load_pcml path: options.yaml + saved checkpoint -> PCMLRender."""
+    import os
+    import yaml
+
+    from gpcr_tpu.models.encoder import PCEncoder, PCMLInfo
+    from gpcr_tpu.render import checkpoint as CK
+
+    info_dict = {
+        "clr_encoder_channels": "9 8 8 8 8 8",
+        "sh_deg": 1, "sh_feat_deg": 0,
+        "use_rotation": True, "use_scale": True, "use_offset": True,
+        "use_dc_offset": False, "use_opacity": False, "est_normal": True,
+        "normalize_normal": True, "enable_opacity": True,
+        "scale_factor": 64, "model_type": "unet",
+    }
+    root = tmp_path / "run" / "train"
+    (root / "option").mkdir(parents=True)
+    (root / "checkpoint").mkdir(parents=True)
+    with open(root / "option" / "options.yaml", "w") as f:
+        yaml.safe_dump({"pcml_info": info_dict}, f)
+
+    enc = PCEncoder(PCMLInfo.from_dict(info_dict))
+    import jax
+
+    params = enc.init(jax.random.PRNGKey(3))
+    ckpt = str(root / "checkpoint" / "model_epoch1.npz")
+    CK.save_params(ckpt, params)
+
+    rdr = RD.PCMLRender(ckpt=ckpt, voxelized=True, scale_factor=64)
+    assert rdr.info.scale_factor == 64
+    pcd, sf = synthetic_cloud(n=300, voxel=True, grid=128)
+    cam = circle_cam(n_imgs=1, wh=32)
+    out = rdr.render(pcd, scale=None, cam=cam, fov=60.0)
+    assert out["rgb"].shape == (1, 1, 32, 32, 3)
+    assert np.all(np.isfinite(np.asarray(out["rgb"])))
