@@ -16,7 +16,7 @@ import typing as T
 
 import numpy as np
 
-from ..io.image import save_pic, write_png
+from ..io.image import write_png
 from . import pic_metrics, rescale_ply
 
 

@@ -6,8 +6,6 @@ from __future__ import annotations
 
 import argparse
 
-import numpy as np
-
 from ..io.ply import read_ply, write_ply
 
 

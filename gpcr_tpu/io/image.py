@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import os
 import struct
-import typing as T
 import zlib
 
 import numpy as np

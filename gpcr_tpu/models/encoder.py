@@ -22,7 +22,6 @@ from __future__ import annotations
 import dataclasses
 import typing as T
 
-import jax
 import jax.numpy as jnp
 
 from ..ops import sparse

@@ -27,7 +27,6 @@ jits once per (N, resolution) bucket.
 
 from __future__ import annotations
 
-import functools
 import typing as T
 
 import jax

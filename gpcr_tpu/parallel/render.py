@@ -14,8 +14,6 @@ module covers the harder intra-frame case.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P

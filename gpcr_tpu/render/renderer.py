@@ -33,13 +33,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.encoder import PCEncoder, PCMLInfo, SplatParams, assemble_input_features
+from ..models.encoder import PCEncoder, PCMLInfo, assemble_input_features
 from ..ops import rasterize as R
 from ..ops import sparse
 from ..structures.camera import Camera
 from ..structures.pointcloud import PointCloud
 from ..structures.trajectory import CameraTrajectory
-from ..utils import rigid_motion
 from ..utils import sh as sh_utils
 from ..utils.timing import sync as _sync
 

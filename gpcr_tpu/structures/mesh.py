@@ -235,8 +235,6 @@ class Mesh:
             if mesh_or_path.lower().endswith(".obj"):
                 d = load_obj(mesh_or_path)
             else:
-                from ..io.ply import read_ply  # PLY meshes: vertices only
-
                 raise NotImplementedError(
                     "mesh loading supports .obj; got " + mesh_or_path
                 )

@@ -303,8 +303,6 @@ class PointCloud:
         visualizer; here a segment-min depth buffer in jnp). shading:
         'raw' (albedo), 'directional' (lambert |n.l|), 'half' ((n.l+1)/2).
         Returns an RGBDImage (b=1, q, h, w)."""
-        import jax
-
         from ..utils.geometry import pinhole_projection
 
         h, w = camera.height_px, camera.width_px

@@ -12,8 +12,6 @@ reference's max_chunk_size memory budgeting), pinhole projection
 
 from __future__ import annotations
 
-import typing as T
-
 import jax
 import jax.numpy as jnp
 

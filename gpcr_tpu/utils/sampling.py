@@ -9,8 +9,6 @@ equivalents.
 
 from __future__ import annotations
 
-import typing as T
-
 import jax
 import jax.numpy as jnp
 import numpy as np
