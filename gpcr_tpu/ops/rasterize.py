@@ -51,6 +51,7 @@ class RasterizeConfig(T.NamedTuple):
     tile_batch: int = 256  # tiles processed per lax.map step
     max_chunks: int = 64  # static bound for the differentiable scan
     differentiable: bool = False
+    scan_impl: str = "cumprod"  # or "trimatmul": MXU tri-matmul in log space
     # flat/pallas-path static budgets (overflow is detected and reported):
     k_budget: T.Optional[int] = None  # cap on sorted entries laid out
     max_active_tiles: T.Optional[int] = None  # cap on non-empty tiles
@@ -199,7 +200,8 @@ def tile_bin(prep: Preprocessed, num_tiles: int, grid_x: int, config: RasterizeC
 # --------------------------------------------------------------------------
 
 
-def _blend_chunk(carry, ids, in_range, packed_all, px, py, channels):
+def _blend_chunk(carry, ids, in_range, packed_all, px, py, channels,
+                 scan_impl="cumprod"):
     """Composite one chunk of Gaussians into one tile's pixels.
 
     Exact-semantics vectorization of the renderCUDA inner loop:
@@ -229,7 +231,19 @@ def _blend_chunk(carry, ids, in_range, packed_all, px, py, channels):
     )
 
     om = 1.0 - a  # >= 0.01 wherever a > 0
-    cum = jnp.cumprod(om, axis=0)  # (G, P) inclusive
+    if scan_impl == "trimatmul":
+        # inclusive product via exp(tri @ log): one MXU matmul instead of a
+        # log2(G)-pass associative scan
+        g = om.shape[0]
+        gi = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
+        gj = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
+        tri = (gj <= gi).astype(jnp.float32)
+        cum = jnp.exp(
+            jnp.matmul(tri, jnp.log(om),
+                       precision=jax.lax.Precision.HIGHEST)
+        )
+    else:
+        cum = jnp.cumprod(om, axis=0)  # (G, P) inclusive
     T_incl = T_run[None, :] * cum
     T_excl = T_incl / om  # exclusive (om bounded away from 0)
     crossed = T_incl < 1e-4
@@ -267,7 +281,8 @@ def _blend_one_tile(
     def chunk_step(c, carry):
         ids = jax.lax.dynamic_slice(sorted_gidx, (start + c * cx,), (cx,))
         in_range = (start + c * cx + jnp.arange(cx)) < end
-        return _blend_chunk(carry, ids, in_range, packed_all, px, py, channels)
+        return _blend_chunk(carry, ids, in_range, packed_all, px, py,
+                            channels, config.scan_impl)
 
     init = (
         jnp.ones((p,), jnp.float32),
