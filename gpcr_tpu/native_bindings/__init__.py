@@ -152,3 +152,64 @@ def numpy_cast(vertices, triangles, origins, dirs, chunk=4096):
         out_u[sl] = np.where(hit, u[rows, best], 0)
         out_v[sl] = np.where(hit, v[rows, best], 0)
     return out_t, out_p, out_u, out_v
+
+
+class GridRayQuery:
+    """Grid-accelerated k-nearest-points-to-ray query (native/pr_query.cpp)
+    — the pointersect `pr_utils` equivalent (plib/utils.py:520-576)."""
+
+    def __init__(self, points: np.ndarray, cell_size: float):
+        with _LOCK:
+            lib = ctypes.CDLL(_build_lib("gpcr_pr", ["pr_query.cpp"]))
+        lib.pr_build.restype = ctypes.c_void_p
+        lib.pr_build.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_float,
+        ]
+        lib.pr_query.restype = None
+        lib.pr_query.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_long, ctypes.c_int,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.pr_free.restype = None
+        lib.pr_free.argtypes = [ctypes.c_void_p]
+        self.lib = lib
+        self._pts = np.ascontiguousarray(points, np.float32)
+        self.handle = lib.pr_build(
+            self._pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            len(self._pts), ctypes.c_float(cell_size),
+        )
+
+    def query(self, origins, dirs, k: int, t_min=0.0, t_max=1e10,
+              radius=None):
+        """Returns (idx (R,k) int32 -1=miss, dist (R,k), t (R,k)) sorted by
+        perpendicular distance, restricted to dist <= radius (defaults to
+        the grid cell size) and t in [t_min, t_max]."""
+        o = np.ascontiguousarray(origins, np.float32).reshape(-1, 3)
+        d = np.ascontiguousarray(dirs, np.float32).reshape(-1, 3)
+        r = len(o)
+        idx = np.empty((r, k), np.int32)
+        dist = np.empty((r, k), np.float32)
+        ts = np.empty((r, k), np.float32)
+        self.lib.pr_query(
+            ctypes.c_void_p(self.handle),
+            o.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            d.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            r, k, ctypes.c_float(t_min), ctypes.c_float(t_max),
+            ctypes.c_float(radius if radius is not None else 1e30),
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            dist.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        return idx, dist, ts
+
+    def __del__(self):
+        try:
+            if getattr(self, "handle", None):
+                self.lib.pr_free(ctypes.c_void_p(self.handle))
+                self.handle = None
+        except Exception:
+            pass

@@ -192,3 +192,37 @@ def test_preprocess_obj(tmp_path):
     import os
 
     assert os.path.exists(tmp_path / "dst" / "kd_red.png")
+
+
+def test_grid_ray_query_matches_brute_force():
+    import pytest
+
+    from gpcr_tpu import native_bindings as nb
+
+    if nb.get_raytracer() is None:
+        pytest.skip("no C++ toolchain")
+    rng = np.random.RandomState(0)
+    pts = rng.randn(3000, 3).astype(np.float32)
+    o = rng.randn(40, 3).astype(np.float32) * 2
+    d = rng.randn(40, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    radius = 0.4
+    k = 5
+    q = nb.GridRayQuery(pts, cell_size=radius)
+    idx, dist, ts = q.query(o, d, k=k, t_min=0.0, t_max=100.0, radius=radius)
+
+    brute = G.get_k_neighbor_points(
+        jnp.asarray(pts)[None], jnp.asarray(o)[None], jnp.asarray(d)[None],
+        k=k, t_min=0.0, t_max=100.0,
+    )
+    bd = np.asarray(brute["sorted_dists"][0])
+    bidx = np.asarray(brute["sorted_idxs"][0])
+    # brute force has no radius cutoff: compare where brute dist <= radius
+    for r in range(40):
+        for j in range(k):
+            if bd[r, j] <= radius - 1e-5:
+                assert idx[r, j] == bidx[r, j], (r, j)
+                assert np.isclose(dist[r, j], bd[r, j], atol=1e-5)
+            else:
+                assert idx[r, j] == -1 or dist[r, j] > radius - 1e-4
