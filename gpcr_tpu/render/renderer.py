@@ -290,7 +290,24 @@ class SimpleRender:
         est_normal_from_ellipsoid=False, background_color=0.0, sigma=1.0,
         timing: T.Optional[dict] = None,
     ) -> dict:
-        assert pcd.xyz_w.shape[0] == 1, "batch>1: call per item"
+        if pcd.xyz_w.shape[0] > 1:
+            # per-item loop over the batch (the reference chunks cameras per
+            # batch item the same way, simple_raw_render.py:612-631)
+            outs = [
+                self.render(
+                    pcd[ib], scale, cam[ib], fov,
+                    enable_opacity=enable_opacity,
+                    super_sample_rate=super_sample_rate,
+                    input_offset=input_offset, point_light=point_light,
+                    background_color=background_color, sigma=sigma,
+                )
+                for ib in range(pcd.xyz_w.shape[0])
+            ]
+            return {
+                k: (jnp.concatenate([o[k] for o in outs], axis=0)
+                    if outs[0][k] is not None else None)
+                for k in outs[0]
+            }
         in_off = (
             jnp.zeros((1, 3))
             if input_offset is None
@@ -432,7 +449,23 @@ class PCMLRender:
         timing: T.Optional[dict] = None,
     ) -> dict:
         assert not consistent_normal
-        assert pcd.xyz_w.shape[0] == 1, "batch>1: call per item"
+        if pcd.xyz_w.shape[0] > 1:
+            outs = [
+                self.render(
+                    pcd[ib], scale, cam[ib], fov,
+                    enable_opacity=enable_opacity,
+                    super_sample_rate=super_sample_rate,
+                    input_offset=input_offset, point_light=point_light,
+                    est_normal_from_ellipsoid=est_normal_from_ellipsoid,
+                    background_color=background_color,
+                )
+                for ib in range(pcd.xyz_w.shape[0])
+            ]
+            return {
+                k: (jnp.concatenate([o[k] for o in outs], axis=0)
+                    if outs[0][k] is not None else None)
+                for k in outs[0]
+            }
 
         # warmup then timed network pass (simple_raw_render.py:372-379)
         encode_fn = lambda: self.encode(pcd, input_offset)

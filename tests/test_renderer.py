@@ -192,3 +192,22 @@ def test_pcml_checkpoint_roundtrip_render(tmp_path):
     out = rdr.render(pcd, scale=None, cam=cam, fov=60.0)
     assert out["rgb"].shape == (1, 1, 32, 32, 3)
     assert np.all(np.isfinite(np.asarray(out["rgb"])))
+
+
+def test_simple_render_batched():
+    pcd1, sf = synthetic_cloud(n=200, seed=1)
+    pcd2, _ = synthetic_cloud(n=200, seed=2)
+    both = PointCloud.cat([pcd1, pcd2], dim=0)
+    cam1 = circle_cam(n_imgs=1, wh=24)
+    from gpcr_tpu.structures.camera import Camera
+
+    cam = Camera.cat([cam1, cam1], dim=0)
+    rdr = RD.SimpleRender(voxelized=True, scale_factor=sf)
+    out = rdr.render(both, scale=None, cam=cam, fov=60.0, background_color=0.0)
+    assert out["rgb"].shape == (2, 1, 24, 24, 3)
+    # each item matches its solo render
+    solo = rdr.render(pcd1, scale=None, cam=cam1, fov=60.0,
+                      background_color=0.0)
+    np.testing.assert_allclose(
+        np.asarray(out["rgb"][0]), np.asarray(solo["rgb"][0]), atol=1e-6
+    )
