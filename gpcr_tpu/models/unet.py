@@ -76,11 +76,18 @@ class InceptionResNet:
             return out * valid[:, None]
 
         x = grid.feats
-        out0 = c3(params["conv0_1"],
-                  grid.replace(feats=_relu(c3(params["conv0_0"], grid))))
-        h = _relu(c1(params["conv1_0"], x, grid.valid))
-        h = _relu(c3(params["conv1_1"], grid.replace(feats=h)))
-        out1 = c1(params["conv1_2"], h, grid.valid)
+        # channel-packed gathers: conv0_0 (input x) and conv1_1 (input
+        # relu(conv1_0(x)), a gather-free 1x1) share one neighbor gather —
+        # the dominant conv cost is gather indices, not matmuls
+        h1 = _relu(c1(params["conv1_0"], x, grid.valid))
+        o00, o11 = sparse.conv_multi(
+            grid, kmap, [x, h1],
+            [params["conv0_0"]["kernel"], params["conv1_1"]["kernel"]],
+            [params["conv0_0"]["bias"], params["conv1_1"]["bias"]],
+            compute_dtype=cdt,
+        )
+        out0 = c3(params["conv0_1"], grid.replace(feats=_relu(o00)))
+        out1 = c1(params["conv1_2"], _relu(o11), grid.valid)
         return jnp.concatenate([out0, out1], axis=-1) + x
 
 

@@ -267,6 +267,54 @@ def conv(
     return out * grid.valid[:, None]
 
 
+def conv_multi(
+    grid: SparseGrid,
+    kmap: jnp.ndarray,  # (Nmax, K³)
+    feats_list: T.Sequence[jnp.ndarray],  # inputs (Nmax, C_i) sharing coords
+    weights: T.Sequence[jnp.ndarray],  # (K³, C_i, Cout_i) per input
+    biases: T.Sequence[T.Optional[jnp.ndarray]],
+    compute_dtype=None,
+) -> T.List[jnp.ndarray]:
+    """Several stride-1 convs over the SAME kernel map with ONE gather per
+    offset: the inputs are channel-concatenated so the (index-throughput-
+    bound) neighbor gather is shared. Saves len(feats_list)-1 gather passes
+    vs separate ``conv`` calls (TPU row-gathers run at ~100M rows/s — see
+    PERFORMANCE.md)."""
+    packed = jnp.concatenate(list(feats_list), axis=-1)
+    if compute_dtype is not None:
+        packed = packed.astype(compute_dtype)
+    ws = [w if compute_dtype is None else w.astype(compute_dtype)
+          for w in weights]
+    splits = [f.shape[1] for f in feats_list]
+    packed_pad = jnp.concatenate(
+        [packed, jnp.zeros((1, packed.shape[1]), packed.dtype)], axis=0
+    )
+    kk = weights[0].shape[0]
+    outs = [
+        jnp.zeros((grid.capacity, w.shape[2]), jnp.float32) for w in weights
+    ]
+
+    def body(i, accs):
+        g = packed_pad[kmap[:, i]]
+        new = []
+        off = 0
+        for j, (w, c) in enumerate(zip(ws, splits)):
+            new.append(accs[j] + jnp.dot(
+                g[:, off : off + c], w[i],
+                preferred_element_type=jnp.float32,
+            ))
+            off += c
+        return tuple(new)
+
+    outs = jax.lax.fori_loop(0, kk, body, tuple(outs))
+    result = []
+    for j, out in enumerate(outs):
+        if biases[j] is not None:
+            out = out + biases[j]
+        result.append(out * grid.valid[:, None])
+    return result
+
+
 def downsample_coords(grid: SparseGrid, capacity: T.Optional[int] = None):
     """Unique parent voxels (coord >> 1). Returns a SparseGrid skeleton
     (codes/num only; feats zeros) at 2x stride, plus each input voxel's
