@@ -401,8 +401,11 @@ class Mesh:
             # (structures.py:3854-3899): quantize then dedup
             xyz, rgb, nrm = self._sample_uniform(num_points, rng)
             q = np.round(xyz * quantize_scale) + quantize_offset
+            # int64 keys: float32 packing collides above 2^24
+            qi = q.astype(np.int64)
             _, idx = np.unique(
-                (q[:, 0] * 2048 + q[:, 1]) * 2048 + q[:, 2], return_index=True
+                (qi[:, 0] * 2048 + qi[:, 1]) * 2048 + qi[:, 2],
+                return_index=True,
             )
             xyz, rgb, nrm = q[idx], rgb[idx], nrm[idx]
         elif method == "poisson_disk":
@@ -412,7 +415,7 @@ class Mesh:
             cell = (np.prod(span.astype(np.float64)) / max(num_points, 1)) ** (
                 1.0 / 3.0
             )
-            q = np.floor((xyz - xyz.min(0)) / max(cell, 1e-9))
+            q = np.floor((xyz - xyz.min(0)) / max(cell, 1e-9)).astype(np.int64)
             _, idx = np.unique(
                 (q[:, 0] * 4096 + q[:, 1]) * 4096 + q[:, 2], return_index=True
             )
