@@ -325,19 +325,30 @@ class SimpleRender:
 
         t0 = time.time()
         sh_deg = 1
-        pseudo = (2 ** (sh_deg + 1)) * 3  # 12 zero AC rows (:692-695)
-        shs = jnp.concatenate(
-            [sh_utils.RGB2SH(rgb)[:, None, :], jnp.zeros((n, pseudo, 3))], axis=1
+        scale_norm = self.scale_factor if self.voxelized else 1.0
+
+        @functools.partial(jax.jit, static_argnames=("voxelized",))
+        def _analytic_params(xyz, rgb, voxelized):
+            pseudo = (2 ** (sh_deg + 1)) * 3  # 12 zero AC rows (:692-695)
+            shs = jnp.concatenate(
+                [sh_utils.RGB2SH(rgb)[:, None, :],
+                 jnp.zeros((rgb.shape[0], pseudo, 3))], axis=1
+            )
+            means = (
+                pcgc_rescale(xyz, self.offset, self.scale_factor)
+                if voxelized else xyz
+            )
+            rotations = jnp.broadcast_to(
+                jnp.array([1.0, 0, 0, 0]), (xyz.shape[0], 4)
+            )
+            scales = jnp.ones((xyz.shape[0], 3)) * (sigma / scale_norm)
+            opacity = jnp.ones((xyz.shape[0],))
+            return shs, means, rotations, scales, opacity
+
+        shs, means, rotations, scales, opacity = _analytic_params(
+            xyz, rgb, self.voxelized
         )
-        if self.voxelized:
-            means = pcgc_rescale(xyz, self.offset, self.scale_factor)
-            scale_norm = self.scale_factor
-        else:
-            means = xyz
-            scale_norm = 1.0
-        rotations = jnp.broadcast_to(jnp.array([1.0, 0, 0, 0]), (n, 4))
-        scales = jnp.ones((n, 3)) * (sigma / scale_norm)
-        opacity = jnp.ones((n,))
+        _sync(opacity)
         model_time = time.time() - t0
 
         bg3 = jnp.zeros((3,)) + background_color
