@@ -162,32 +162,66 @@ def tile_bin(prep: Preprocessed, num_tiles: int, grid_x: int, config: RasterizeC
     max_dup_per_gaussian, row-major like duplicateWithKeys,
     rasterizer_impl.cu:70-111), then sort all (tile, depth) keys.
 
+    With ``config.k_budget`` set, the duplication list is COMPACTED to the
+    budget before sorting (real entries typically fill ~25% of N·cap — the
+    lax.sort over sentinels was the single largest binning cost). Budget
+    overruns are counted in the returned overflow.
+
     Returns (sorted_gidx (K+chunk,), tile_starts (num_tiles+1,),
-             overflow (scalar — duplications dropped by the cap)).
+             overflow (scalar — duplications dropped by cap/budget)).
     """
     n = prep.depth.shape[0]
     cap = config.max_dup_per_gaussian
-    k = jnp.arange(cap, dtype=jnp.int32)
 
     rmin_x, rmin_y = prep.rect[:, 0], prep.rect[:, 1]
     rw = jnp.maximum(prep.rect[:, 2] - rmin_x, 1)
-    area = (prep.rect[:, 2] - rmin_x) * (prep.rect[:, 3] - rmin_y)
+    area_raw = (prep.rect[:, 2] - rmin_x) * (prep.rect[:, 3] - rmin_y)
+    area = jnp.where(prep.valid, jnp.minimum(area_raw, cap), 0)
+    overflow = jnp.sum(jnp.where(prep.valid, jnp.maximum(area_raw - cap, 0), 0))
 
-    ty = rmin_y[:, None] + k[None, :] // rw[:, None]
-    tx = rmin_x[:, None] + k[None, :] % rw[:, None]
-    dup_valid = prep.valid[:, None] & (k[None, :] < area[:, None])
-    tile_id = jnp.where(dup_valid, ty * grid_x + tx, num_tiles).astype(jnp.int32)
-
-    depths = jnp.broadcast_to(prep.depth[:, None], (n, cap))
-    gidx = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], (n, cap)
-    )
+    if config.k_budget is not None:
+        # compact: dup slot s belongs to gaussian g with
+        # cumstart[g] <= s < cumstart[g+1]; k = s - cumstart[g]
+        kb = config.k_budget
+        cumstart = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(area).astype(jnp.int32)]
+        )
+        total = cumstart[-1]
+        overflow = overflow + jnp.maximum(total - kb, 0)
+        marks = jnp.zeros((kb + 1,), jnp.int32).at[
+            jnp.minimum(cumstart[:-1], kb)
+        ].add(jnp.where(area > 0, 1, 0))
+        g_of_slot = jnp.cumsum(marks[:kb]) - 1
+        # slots before the first non-empty gaussian / past total are invalid
+        slot = jnp.arange(kb, dtype=jnp.int32)
+        slot_valid = (g_of_slot >= 0) & (slot < total)
+        g_of_slot = jnp.clip(g_of_slot, 0, n - 1)
+        k = slot - cumstart[g_of_slot]
+        ty = rmin_y[g_of_slot] + k // rw[g_of_slot]
+        tx = rmin_x[g_of_slot] + k % rw[g_of_slot]
+        tile_flat = jnp.where(
+            slot_valid, ty * grid_x + tx, num_tiles
+        ).astype(jnp.int32)
+        depth_flat = prep.depth[g_of_slot]
+        gidx_flat = g_of_slot.astype(jnp.int32)
+    else:
+        k = jnp.arange(cap, dtype=jnp.int32)
+        ty = rmin_y[:, None] + k[None, :] // rw[:, None]
+        tx = rmin_x[:, None] + k[None, :] % rw[:, None]
+        dup_valid = prep.valid[:, None] & (k[None, :] < area[:, None])
+        tile_id = jnp.where(
+            dup_valid, ty * grid_x + tx, num_tiles
+        ).astype(jnp.int32)
+        tile_flat = tile_id.reshape(-1)
+        depth_flat = jnp.broadcast_to(prep.depth[:, None], (n, cap)).reshape(-1)
+        gidx_flat = jnp.broadcast_to(
+            jnp.arange(n, dtype=jnp.int32)[:, None], (n, cap)
+        ).reshape(-1)
 
     sorted_tile, _, sorted_gidx = jax.lax.sort(
-        (tile_id.reshape(-1), depths.reshape(-1), gidx.reshape(-1)), num_keys=2
+        (tile_flat, depth_flat, gidx_flat), num_keys=2
     )
     starts = jnp.searchsorted(sorted_tile, jnp.arange(num_tiles + 1), side="left")
-    overflow = jnp.sum(jnp.where(prep.valid, jnp.maximum(area - cap, 0), 0))
     # pad so dynamic_slice in the blend never clamps
     sorted_gidx = jnp.concatenate(
         [sorted_gidx, jnp.full((config.chunk_size,), n, jnp.int32)]

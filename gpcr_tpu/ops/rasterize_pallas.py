@@ -52,15 +52,9 @@ def tile_bin_aligned(prep: R.Preprocessed, num_tiles: int, grid_x: int,
     """
     ch = config.chunk_size
     n = prep.depth.shape[0]
+    # tile_bin applies config.k_budget itself (compacted binning)
     sorted_gidx, starts, overflow = R.tile_bin(prep, num_tiles, grid_x, config)
-    k_sorted = n * config.max_dup_per_gaussian
-    if config.k_budget is not None and config.k_budget < k_sorted:
-        # valid entries sort before the sentinels, so truncation only drops
-        # data when num_rendered exceeds the budget — flagged as overflow
-        k_sorted = _round_up(config.k_budget, ch)
-        overflow = overflow + jnp.maximum(starts[-1] - k_sorted, 0)
-        sorted_gidx = sorted_gidx[: k_sorted + config.chunk_size]
-        starts = jnp.minimum(starts, k_sorted)
+    k_sorted = sorted_gidx.shape[0] - config.chunk_size
 
     counts = starts[1:] - starts[:-1]
     cpad = ((counts + ch - 1) // ch) * ch

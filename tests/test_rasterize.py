@@ -197,3 +197,38 @@ def test_input_validation():
     m = jnp.zeros((4, 3))
     with pytest.raises(ValueError):
         R.rasterize_gaussians(m, jnp.ones(4), settings)
+
+
+def test_budget_compacted_binning_matches():
+    """tile_bin with an ample k_budget produces the identical image."""
+    W = H = 48
+    means, scales, rots, ops, feats = random_scene(80, seed=9)
+    view_t, full_t, tanfov, campos = make_camera_matrices([0.0, 0.1, -2.5], W, H)
+    settings = R.GaussianRasterizationSettings(
+        image_height=H, image_width=W, tanfovx=tanfov, tanfovy=tanfov,
+        bg=jnp.asarray([0.1, 0.5, 0.9]), scale_modifier=1.0,
+        viewmatrix=view_t, projmatrix=full_t, sh_degree=0, campos=campos,
+    )
+    cfg_a = R.RasterizeConfig(max_dup_per_gaussian=64, chunk_size=32,
+                              tile_batch=3)
+    cfg_b = cfg_a._replace(k_budget=4096)
+    args = dict(
+        scales=jnp.asarray(scales), rotations=jnp.asarray(rots),
+        colors_precomp=jnp.asarray(feats),
+    )
+    c_a, _ = R.rasterize_gaussians(
+        jnp.asarray(means), jnp.asarray(ops), settings, config=cfg_a, **args
+    )
+    c_b, _, extra = R.rasterize_gaussians(
+        jnp.asarray(means), jnp.asarray(ops), settings, config=cfg_b,
+        return_extra=True, **args
+    )
+    assert int(extra["dup_overflow"]) == 0
+    np.testing.assert_allclose(np.asarray(c_b), np.asarray(c_a), atol=1e-6)
+    # a too-small budget flags overflow
+    cfg_c = cfg_a._replace(k_budget=32)
+    _, _, extra_c = R.rasterize_gaussians(
+        jnp.asarray(means), jnp.asarray(ops), settings, config=cfg_c,
+        return_extra=True, **args
+    )
+    assert int(extra_c["dup_overflow"]) > 0
