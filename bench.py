@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--fov", type=float, default=45.0)
     ap.add_argument("--sigma", type=float, default=1.0)
     ap.add_argument("--dup_cap", type=int, default=8)
+    ap.add_argument("--k_budget", type=int, default=0,
+                    help="compacted binning budget (entries, 0 = off); the "
+                         "compaction helps the aligned fast paths but loses "
+                         "in the default XLA graph — see PERFORMANCE.md")
     args = ap.parse_args()
 
     import jax
@@ -73,7 +77,8 @@ def main():
     normal = jnp.zeros((n, 3))
 
     config = R.RasterizeConfig(
-        max_dup_per_gaussian=args.dup_cap, chunk_size=256, tile_batch=256
+        max_dup_per_gaussian=args.dup_cap, chunk_size=128, tile_batch=256,
+        k_budget=args.k_budget or None,
     )
 
     def render_frame(view_t, full_t, campos):
@@ -99,6 +104,24 @@ def main():
         out = render_frame(rp["view_t"][i], rp["full_t"][i], rp["campos"][i])
         sync(out)
         times.append((time.perf_counter() - t0) * 1000.0)
+
+    # overflow sanity for the chosen k_budget
+    from gpcr_tpu.ops import rasterize as _R
+
+    prep = _R.preprocess(
+        means, opacity, _R.GaussianRasterizationSettings(
+            rp["height"], rp["width"], rp["tanfov"], rp["tanfov"],
+            jnp.ones(12), 1.0, rp["view_t"][0], rp["full_t"][0], 1,
+            rp["campos"][0],
+        ), config, scales=scales, rotations=rotations,
+        colors_precomp=jnp.zeros((n, 12)),
+    )
+    gx = -(-rp["width"] // config.tile_x)
+    nt = gx * (-(-rp["height"] // config.tile_y))
+    _, _, ovf = _R.tile_bin(prep, nt, gx, config)
+    if int(np.asarray(ovf)) > 0:
+        print(f"# WARNING: binning overflow {int(np.asarray(ovf))} entries "
+              f"(raise --k_budget)", file=sys.stderr)
 
     ms = float(np.median(times))
     print(

@@ -224,7 +224,12 @@ def render_views_fused(
             use_pallas,
         )
 
-    colors = jax.lax.map(one, (view_ts, full_ts, camposes))  # (q, C, H, W)
+    if view_ts.shape[0] == 1:
+        # single view: skip lax.map — its scan body serializes the binning
+        # scatters (measured 2.5x slower than the direct graph)
+        colors = one((view_ts[0], full_ts[0], camposes[0]))[None]
+    else:
+        colors = jax.lax.map(one, (view_ts, full_ts, camposes))  # (q, C, H, W)
     colors = bilinear_resize(colors, out_h, out_w)
     out = {
         "rgb": colors[:, 0:3].transpose(0, 2, 3, 1),
