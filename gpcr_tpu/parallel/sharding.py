@@ -30,6 +30,14 @@ def make_mesh(
     """2D mesh with axes ('dp', 'sp'). Defaults: all devices on dp."""
     devices = jax.devices()
     n = n_devices or len(devices)
+    if len(devices) < n:
+        raise ValueError(
+            f"make_mesh: need {n} devices, found {len(devices)} "
+            f"({devices[0].platform}). Hint: run on CPU with XLA_FLAGS="
+            f"--xla_force_host_platform_device_count={n} and "
+            f"jax.config.update('jax_platforms', 'cpu') before backend init "
+            f"(JAX_PLATFORMS alone is ignored by the axon TPU plugin)."
+        )
     devices = devices[:n]
     if dp is None and sp is None:
         dp, sp = n, 1
