@@ -32,6 +32,10 @@ def main():
                     help="compacted binning budget (entries, 0 = off); the "
                          "compaction helps the aligned fast paths but loses "
                          "in the default XLA graph — see PERFORMANCE.md")
+    ap.add_argument("--impl", default="stream", choices=["xla", "stream"])
+    ap.add_argument("--max_active", type=int, default=0,
+                    help="stream-path grid budget on non-empty tiles "
+                         "(0 = all tiles)")
     args = ap.parse_args()
 
     import jax
@@ -76,9 +80,16 @@ def main():
     valid = jnp.ones((n,), bool)
     normal = jnp.zeros((n, 3))
 
+    k_budget = args.k_budget
+    if not k_budget and args.impl == "stream":
+        # stream path: bound the sorted entry stream (real entries ~1.65M at
+        # this config; overflow is counted and warned below)
+        k_budget = 2_500_000
     config = R.RasterizeConfig(
         max_dup_per_gaussian=args.dup_cap, chunk_size=128, tile_batch=256,
-        k_budget=args.k_budget or None,
+        k_budget=k_budget or None,
+        max_active_tiles=args.max_active or None,
+        impl=args.impl,
     )
 
     def render_frame(view_t, full_t, campos):

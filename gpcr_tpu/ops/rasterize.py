@@ -55,6 +55,10 @@ class RasterizeConfig(T.NamedTuple):
     # flat/pallas-path static budgets (overflow is detected and reported):
     k_budget: T.Optional[int] = None  # cap on sorted entries laid out
     max_active_tiles: T.Optional[int] = None  # cap on non-empty tiles
+    # forward-path implementation: "xla" (exact reference semantics via
+    # vmapped while_loops) or "stream" (Pallas active-tile streaming kernel,
+    # ops/rasterize_stream.py — same semantics, per-tile exact cost)
+    impl: str = "xla"
 
 
 class GaussianRasterizationSettings(T.NamedTuple):
@@ -449,6 +453,16 @@ def rasterize_gaussians(
         raise ValueError(
             "Please provide exactly one of either scale/rotation pair or "
             "precomputed 3D covariance!"
+        )
+
+    if config.impl == "stream" and not config.differentiable:
+        from .rasterize_stream import rasterize_gaussians_stream
+
+        return rasterize_gaussians_stream(
+            means3d, opacities, settings,
+            scales=scales, rotations=rotations, cov3d_precomp=cov3d_precomp,
+            shs=shs, colors_precomp=colors_precomp, valid_mask=valid_mask,
+            config=config, return_extra=return_extra,
         )
 
     H, W = settings.image_height, settings.image_width

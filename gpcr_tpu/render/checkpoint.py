@@ -73,11 +73,14 @@ def _to_jnp(tree):
 
 
 def load_params(path: str, info=None) -> dict:
-    """Load params from .npz (native) or torch .pth/.pt (converted)."""
-    if path.endswith((".pth", ".pt")):
-        import torch
+    """Load params from .npz (native) or torch .pth/.pt (converted).
 
-        state = torch.load(path, map_location="cpu")
+    Torch files are read with the torch-free zip unpickler
+    (``gpcr_tpu.io.torch_zip``) — no torch import required."""
+    if path.endswith((".pth", ".pt")):
+        from ..io.torch_zip import load_torch_zip
+
+        state = load_torch_zip(path)
         if isinstance(state, dict) and "state_dict" in state:
             state = state["state_dict"]
         return convert_torch_state_dict(state)

@@ -1,0 +1,180 @@
+"""Stage-level timing of the stream rasterizer at the bench config.
+
+Each stage is jitted separately with RUNTIME arguments (no constant
+folding) and timed with D2H sync; subtract the ~30 ms dispatch floor
+mentally when comparing (measured by the noop row).
+"""
+
+import functools
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gpcr_tpu.ops import rasterize as R
+from gpcr_tpu.ops import rasterize_stream as S
+from gpcr_tpu.render.renderer import (
+    get_rasterize_param_from_camera, pcgc_rescale,
+)
+from gpcr_tpu.structures.trajectory import CameraTrajectory
+from gpcr_tpu.utils import sh as sh_utils
+from gpcr_tpu.utils.timing import sync
+
+
+def timeit(fn, *args, reps=4):
+    out = fn(*args)
+    sync(out)
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        sync(out)
+        ts.append((time.perf_counter() - t0) * 1e3)
+    return float(np.median(ts)), out
+
+
+def main():
+    rng = np.random.RandomState(0)
+    n = 800_000
+    res, ssrate, sf, fov = 1024, 2, 448, 45.0
+    v = rng.randn(n, 3)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    v[:, 1] *= 1.6
+    v *= 0.55
+    xyz_world = v + rng.randn(n, 3) * 0.01
+    rgb = rng.rand(n, 3).astype(np.float32)
+    coords = (xyz_world * sf + 512).astype(np.float32)
+
+    traj = CameraTrajectory(
+        mode="circle", n_imgs=4, total=1,
+        params={"d": 0, "r": 3, "center_angles": [90, 0]},
+    )
+    cam = traj.get_camera(fov=fov, width_px=res, height_px=res)
+    rp = get_rasterize_param_from_camera(
+        cam, fov, bg=jnp.ones(3), sh_degree=1, super_sample_rate=ssrate
+    )
+    means = pcgc_rescale(jnp.asarray(coords), 512, sf)
+    shs = jnp.concatenate(
+        [sh_utils.RGB2SH(jnp.asarray(rgb))[:, None, :], jnp.zeros((n, 12, 3))],
+        axis=1,
+    )
+    scales = jnp.ones((n, 3)) * (1.0 / sf)
+    rotations = jnp.broadcast_to(jnp.array([1.0, 0, 0, 0]), (n, 4))
+    opacity = jnp.ones((n,))
+
+    config = R.RasterizeConfig(
+        max_dup_per_gaussian=8, chunk_size=128,
+        k_budget=2_500_000, impl="stream",
+    )
+    H = W = res * ssrate
+    grid_x = -(-W // config.tile_x)
+    num_tiles = grid_x * (-(-H // config.tile_y))
+    settings = R.GaussianRasterizationSettings(
+        image_height=H, image_width=W, tanfovx=rp["tanfov"],
+        tanfovy=rp["tanfov"], bg=jnp.ones(12), scale_modifier=1.0,
+        viewmatrix=rp["view_t"][0], projmatrix=rp["full_t"][0],
+        sh_degree=1, campos=rp["campos"][0],
+    )
+
+    ms, _ = timeit(jax.jit(lambda x: x + 1.0), jnp.ones(8))
+    print(f"noop dispatch floor:      {ms:8.1f} ms")
+
+    feats = jnp.concatenate(
+        [sh_utils.eval_sh_color(1, shs, means, settings.campos),
+         means, jnp.ones_like(means), jnp.zeros_like(means)], axis=-1
+    )
+
+    pre = jax.jit(functools.partial(
+        R.preprocess, settings=settings, config=config))
+    ms, prep = timeit(
+        lambda m, o, s, r, f: pre(m, o, scales=s, rotations=r,
+                                  colors_precomp=f),
+        means, opacity, scales, rotations, feats,
+    )
+    print(f"preprocess:               {ms:8.1f} ms")
+
+    binf = jax.jit(functools.partial(
+        S.bin_sorted_stream, num_tiles=num_tiles, grid_x=grid_x,
+        config=config))
+    ms, (stream, starts, ovf) = timeit(binf, prep)
+    print(f"bin (sort+gather):        {ms:8.1f} ms  "
+          f"overflow={int(ovf)}")
+
+    # sort only
+    def sort_only(prep):
+        cap = config.max_dup_per_gaussian
+        nn = prep.depth.shape[0]
+        rmin_x, rmin_y = prep.rect[:, 0], prep.rect[:, 1]
+        rw = jnp.maximum(prep.rect[:, 2] - rmin_x, 1)
+        area_raw = (prep.rect[:, 2] - rmin_x) * (prep.rect[:, 3] - rmin_y)
+        area = jnp.where(prep.valid, jnp.minimum(area_raw, cap), 0)
+        k = jnp.arange(cap, dtype=jnp.int32)
+        ty = rmin_y[:, None] + k[None, :] // rw[:, None]
+        tx = rmin_x[:, None] + k[None, :] % rw[:, None]
+        dup_valid = prep.valid[:, None] & (k[None, :] < area[:, None])
+        tile_flat = jnp.where(dup_valid, ty * grid_x + tx, num_tiles)
+        tile_flat = tile_flat.astype(jnp.int32).reshape(-1)
+        depth_flat = jnp.broadcast_to(
+            prep.depth[:, None], (nn, cap)).reshape(-1)
+        gidx_flat = jnp.broadcast_to(
+            jnp.arange(nn, dtype=jnp.int32)[:, None], (nn, cap)).reshape(-1)
+        return jax.lax.sort((tile_flat, depth_flat, gidx_flat), num_keys=2)
+
+    ms, _ = timeit(jax.jit(sort_only), prep)
+    print(f"  emit+sort only:         {ms:8.1f} ms")
+
+    counts = starts[1:] - starts[:-1]
+    print(f"  entries={int(starts[-1])} active_tiles="
+          f"{int(jnp.sum(counts > 0))} max_count={int(jnp.max(counts))}")
+
+    kern = jax.jit(functools.partial(
+        S.blend_stream, num_tiles=num_tiles, grid_x=grid_x, config=config,
+        channels=12))
+    ms, _ = timeit(lambda p, b: kern(p, b), prep, jnp.ones(12))
+    print(f"bin+kernel+unperm:        {ms:8.1f} ms")
+
+    # kernel alone on prebuilt stream
+    p = config.tile_x * config.tile_y
+    c_out = 16
+    order = jnp.argsort(-counts).astype(jnp.int32)
+
+    def kernel_only(order, starts, stream):
+        grid_spec = S.pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(num_tiles,),
+            in_specs=[S.pl.BlockSpec(memory_space=S.pltpu.ANY)],
+            out_specs=S.pl.BlockSpec(
+                (1, c_out, p), lambda i, *_: (i, 0, 0),
+                memory_space=S.pltpu.VMEM),
+            scratch_shapes=[
+                S.pltpu.VMEM((2, config.chunk_size, stream.shape[1]),
+                             jnp.float32),
+                S.pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        kfn = functools.partial(
+            S._stream_kernel, grid_x=grid_x, tile_x=16, tile_y=16,
+            chunk=config.chunk_size, ncols=stream.shape[1], c_out=c_out,
+            channels=12)
+        return S.pl.pallas_call(
+            kfn, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (num_tiles, c_out, p), jnp.float32),
+        )(order, starts, stream)
+
+    ms, _ = timeit(jax.jit(kernel_only), order, starts, stream)
+    print(f"kernel only:              {ms:8.1f} ms")
+
+    full = jax.jit(functools.partial(
+        S.rasterize_gaussians_stream, settings=settings, config=config))
+    ms, _ = timeit(
+        lambda m, o, s, r, f: full(m, o, scales=s, rotations=r,
+                                   colors_precomp=f),
+        means, opacity, scales, rotations, feats,
+    )
+    print(f"full rasterize_stream:    {ms:8.1f} ms")
+
+
+if __name__ == "__main__":
+    main()
