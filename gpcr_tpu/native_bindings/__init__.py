@@ -213,3 +213,93 @@ class GridRayQuery:
                 self.handle = None
         except Exception:
             pass
+
+
+def sample_elimination(points: np.ndarray, n: int, r_max: float,
+                       alpha: float = 8.0) -> np.ndarray:
+    """Weighted sample elimination (Yuksel 2015) — reduce an M-point
+    candidate set to an n-point Poisson-disk set. Returns survivor indices
+    (n,) int32. Native (native/sample_elim.cpp) with a numpy/heapq fallback.
+
+    This is the algorithm behind Open3D's ``sample_points_poisson_disk``,
+    which the reference uses for mesh sampling (structures.py:3828-3853).
+    """
+    pts = np.ascontiguousarray(points, np.float32)
+    m = len(pts)
+    if n >= m:
+        return np.arange(m, dtype=np.int32)
+    with _LOCK:
+        if "se" not in _CACHE:
+            try:
+                lib = ctypes.CDLL(_build_lib("gpcr_se", ["sample_elim.cpp"]))
+                lib.se_eliminate.restype = None
+                lib.se_eliminate.argtypes = [
+                    ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+                    ctypes.c_long, ctypes.c_float, ctypes.c_float,
+                    ctypes.POINTER(ctypes.c_int),
+                ]
+                _CACHE["se"] = lib
+            except Exception:
+                _CACHE["se"] = None
+        lib = _CACHE["se"]
+    if lib is not None:
+        out = np.empty(n, np.int32)
+        lib.se_eliminate(
+            pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            m, n, ctypes.c_float(r_max), ctypes.c_float(alpha),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        )
+        return out
+    return _sample_elimination_numpy(pts, n, r_max, alpha)
+
+
+def _sample_elimination_numpy(pts: np.ndarray, n: int, r_max: float,
+                              alpha: float) -> np.ndarray:
+    """Pure-python fallback: same algorithm, grid + heapq with lazy deletion."""
+    import heapq
+
+    m = len(pts)
+    r_e = 2.0 * r_max
+    lo = pts.min(0)
+    cell = np.maximum(r_e, 1e-12)
+    key = np.floor((pts - lo) / cell).astype(np.int64)
+    grid: dict = {}
+    for i, k in enumerate(map(tuple, key)):
+        grid.setdefault(k, []).append(i)
+
+    nbrs: T.List[T.List[int]] = [[] for _ in range(m)]
+    w = np.zeros(m)
+    for i in range(m):
+        kx, ky, kz = key[i]
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    for j in grid.get((kx + dx, ky + dy, kz + dz), ()):
+                        if j <= i:
+                            continue
+                        d = float(np.linalg.norm(pts[i] - pts[j]))
+                        if d < r_e:
+                            nbrs[i].append(j)
+                            nbrs[j].append(i)
+                            wij = (1.0 - d / r_e) ** alpha
+                            w[i] += wij
+                            w[j] += wij
+
+    heap = [(-w[i], i) for i in range(m)]
+    heapq.heapify(heap)
+    alive = np.ones(m, bool)
+    remaining = m
+    while remaining > n:
+        nw, i = heapq.heappop(heap)
+        if not alive[i] or -nw != w[i]:
+            if alive[i]:
+                heapq.heappush(heap, (-w[i], i))
+            continue
+        alive[i] = False
+        remaining -= 1
+        for j in nbrs[i]:
+            if alive[j]:
+                d = float(np.linalg.norm(pts[i] - pts[j]))
+                w[j] -= (1.0 - d / r_e) ** alpha
+                heapq.heappush(heap, (-w[j], j))
+    return np.nonzero(alive)[0][:n].astype(np.int32)

@@ -18,9 +18,9 @@ Semantics preserved:
   origin.
 - sample_point_cloud (structures.py:3796-3947): 'uniform',
   'uniform_quantized' (round(xyz·448)+512, unique dedup), 'uniform_camera'
-  (camera sphere + ray cast + unproject), 'poisson_disk' (approximated by
-  oversample + voxel-grid thinning — documented deviation; Open3D's
-  sample_points_poisson_disk is not available here).
+  (camera sphere + ray cast + unproject), 'poisson_disk' (true weighted
+  sample elimination — Yuksel 2015, the algorithm inside Open3D's
+  sample_points_poisson_disk — native/sample_elim.cpp, 5x oversample).
 """
 
 from __future__ import annotations
@@ -409,17 +409,20 @@ class Mesh:
             )
             xyz, rgb, nrm = q[idx], rgb[idx], nrm[idx]
         elif method == "poisson_disk":
-            # approximation: 4x oversample + voxel-grid thinning (first-wins)
-            xyz, rgb, nrm = self._sample_uniform(num_points * 4, rng)
-            span = xyz.max(0) - xyz.min(0)
-            cell = (np.prod(span.astype(np.float64)) / max(num_points, 1)) ** (
-                1.0 / 3.0
+            # weighted sample elimination (Yuksel 2015) — the algorithm
+            # behind o3d sample_points_poisson_disk, which the reference
+            # calls with init_factor 5 (structures.py:3828-3853)
+            from ..native_bindings import sample_elimination
+
+            xyz, rgb, nrm = self._sample_uniform(num_points * 5, rng)
+            v0 = self.vertices[self.triangles[:, 0]]
+            e1 = self.vertices[self.triangles[:, 1]] - v0
+            e2 = self.vertices[self.triangles[:, 2]] - v0
+            area = 0.5 * float(
+                np.sum(np.linalg.norm(np.cross(e1, e2), axis=-1))
             )
-            q = np.floor((xyz - xyz.min(0)) / max(cell, 1e-9)).astype(np.int64)
-            _, idx = np.unique(
-                (q[:, 0] * 4096 + q[:, 1]) * 4096 + q[:, 2], return_index=True
-            )
-            idx = idx[:num_points]
+            r_max = np.sqrt(area / (2.0 * np.sqrt(3.0) * max(num_points, 1)))
+            idx = sample_elimination(xyz, num_points, float(r_max))
             xyz, rgb, nrm = xyz[idx], rgb[idx], nrm[idx]
         elif method == "uniform_camera":
             # (structures.py:3901-3941): camera sphere + ray cast + unproject
