@@ -322,9 +322,10 @@ def _blend_one_tile(
         return _blend_chunk(carry, ids, in_range, packed_all, px, py,
                             channels, config.scan_impl)
 
+    dt = packed_all.dtype
     init = (
-        jnp.ones((p,), jnp.float32),
-        jnp.zeros((p, channels), jnp.float32),
+        jnp.ones((p,), dt),
+        jnp.zeros((p, channels), dt),
         jnp.zeros((p,), bool),
     )
 
@@ -379,7 +380,7 @@ def blend(
         axis=-1,
     )
     packed_all = jnp.concatenate(
-        [packed_all, jnp.zeros((1, 6 + channels))], axis=0
+        [packed_all, jnp.zeros((1, 6 + channels), packed_all.dtype)], axis=0
     )
 
     def one(tile_idx):
@@ -485,7 +486,16 @@ def rasterize_gaussians(
 
         check_finite((prep.mean2d, prep.conic, color), name="rasterize")
     if return_extra:
-        return color, radii, {"final_T": T_img, "dup_overflow": overflow}
+        extra = {"final_T": T_img, "dup_overflow": overflow}
+        if config.differentiable:
+            # entries beyond the static scan bound are never blended and
+            # never contribute gradients — report the truncation the same
+            # way dup_overflow is reported (conservative: early-terminated
+            # pixels may not have needed the tail anyway)
+            counts = starts[1:] - starts[:-1]
+            budget = config.max_chunks * config.chunk_size
+            extra["grad_trunc"] = jnp.sum(jnp.maximum(counts - budget, 0))
+        return color, radii, extra
     return color, radii
 
 
