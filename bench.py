@@ -27,15 +27,24 @@ def main():
     ap.add_argument("--scale_factor", type=int, default=448)
     ap.add_argument("--fov", type=float, default=45.0)
     ap.add_argument("--sigma", type=float, default=1.0)
-    ap.add_argument("--dup_cap", type=int, default=8)
+    ap.add_argument("--dup_cap", type=int, default=4,
+                    help="tiles-per-splat cap; 4 is lossless at the bench "
+                         "scene (area histogram has no value > 4; overflow "
+                         "is counted and warned)")
     ap.add_argument("--k_budget", type=int, default=0,
                     help="compacted binning budget (entries, 0 = off); the "
                          "compaction helps the aligned fast paths but loses "
                          "in the default XLA graph — see PERFORMANCE.md")
     ap.add_argument("--impl", default="stream", choices=["xla", "stream"])
-    ap.add_argument("--max_active", type=int, default=0,
+    ap.add_argument("--max_active", type=int, default=8192,
                     help="stream-path grid budget on non-empty tiles "
-                         "(0 = all tiles)")
+                         "(0 = all tiles); empty grid steps cost ~1 us each "
+                         "so halving the 16K grid saves ~8 ms")
+    ap.add_argument("--views_per_dispatch", type=int, default=1,
+                    help=">1 renders that many views inside ONE jit "
+                         "(lax.map) and reports ms/frame = dispatch/views — "
+                         "the TPU-first deployment shape; 1 matches the "
+                         "reference's per-view dispatch protocol")
     args = ap.parse_args()
 
     import jax
@@ -84,7 +93,7 @@ def main():
     if not k_budget and args.impl == "stream":
         # stream path: bound the sorted entry stream (real entries ~1.65M at
         # this config; overflow is counted and warned below)
-        k_budget = 2_500_000
+        k_budget = 1_800_000
     config = R.RasterizeConfig(
         max_dup_per_gaussian=args.dup_cap, chunk_size=128, tile_batch=256,
         k_budget=k_budget or None,
@@ -92,9 +101,12 @@ def main():
         impl=args.impl,
     )
 
+    vpd = max(1, args.views_per_dispatch)
+
     def render_frame(view_t, full_t, campos):
+        # (q, 4, 4) inputs: q views in one dispatch
         return render_views_fused(
-            view_t[None], full_t[None], campos[None],
+            view_t, full_t, campos,
             means, scales, rotations, opacity, shs, normal, valid,
             jnp.ones(3), rp["tanfov"],
             height=rp["height"], width=rp["width"],
@@ -104,17 +116,21 @@ def main():
 
     from gpcr_tpu.utils.timing import sync
 
+    def views(i):
+        idx = np.array([(i + j) % args.frames for j in range(vpd)])
+        return rp["view_t"][idx], rp["full_t"][idx], rp["campos"][idx]
+
     # warmup / compile (sync forces a D2H barrier: block_until_ready is a
     # no-op on the axon platform)
-    out = render_frame(rp["view_t"][0], rp["full_t"][0], rp["campos"][0])
+    out = render_frame(*views(0))
     sync(out)
 
     times = []
     for i in range(args.frames):
         t0 = time.perf_counter()
-        out = render_frame(rp["view_t"][i], rp["full_t"][i], rp["campos"][i])
+        out = render_frame(*views(i))
         sync(out)
-        times.append((time.perf_counter() - t0) * 1000.0)
+        times.append((time.perf_counter() - t0) * 1000.0 / vpd)
 
     # overflow sanity for the chosen k_budget
     from gpcr_tpu.ops import rasterize as _R

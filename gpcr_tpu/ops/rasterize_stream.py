@@ -59,11 +59,20 @@ def bin_sorted_stream(
     grid_x: int,
     config: R.RasterizeConfig,
 ):
-    """Duplicate -> (tile, depth) sort -> pack one row-major entry stream.
+    """Depth-presort -> duplicate -> ONE stable tile sort -> stream gather.
+
+    Exactly reproduces the reference's 64-bit (tile | depth-bits) radix
+    ordering (rasterizer_impl.cu:70-111,300-308): gaussians are first sorted
+    by (depth, gidx) — 800K keys, ~1 ms — entries are then emitted in that
+    order and a STABLE single-key i32 sort groups them by tile, so within a
+    tile entries stay (depth, gidx)-ordered, which is the CUB stable-radix
+    tie-break. Measured on-chip: the stable 1-key sort costs the same as the
+    unstable one and ~30%% less than the 2-key (tile, depth) sort, and the
+    800K presort + row permute are ~4 ms combined.
 
     Returns (stream (kb + chunk, ncols) f32, starts (num_tiles+1,) i32,
     overflow scalar i32). ``ncols`` = 8 scalar slots + channels padded to 8.
-    Entry rows: [x, y, conic_x, conic_y, conic_z, opacity, 0, 0, feat...].
+    Entry rows: [x, y, conic_x, conic_y, conic_z, opacity, depth, 0, feat...].
     """
     n = prep.depth.shape[0]
     cap = config.max_dup_per_gaussian
@@ -71,30 +80,81 @@ def bin_sorted_stream(
     k_full = n * cap
     kb = config.k_budget or k_full
     kb = min(_round_up(kb, ch), k_full)
+    channels = prep.features.shape[-1]
 
-    rmin_x, rmin_y = prep.rect[:, 0], prep.rect[:, 1]
-    rw = jnp.maximum(prep.rect[:, 2] - rmin_x, 1)
-    area_raw = (prep.rect[:, 2] - rmin_x) * (prep.rect[:, 3] - rmin_y)
-    area = jnp.where(prep.valid, jnp.minimum(area_raw, cap), 0)
-    overflow = jnp.sum(
-        jnp.where(prep.valid, jnp.maximum(area_raw - cap, 0), 0)
+    # 1. presort gaussians by (depth, gidx); invalid ones sink to the end.
+    # The tile rect and validity ride along as sort payloads so the emit
+    # step needs NO gather and the packed table needs NO permute (the main
+    # sort's payload is the ORIGINAL index — stability is a property of
+    # input positions, which are depth-ordered, not of payload values).
+    depth_key = jnp.where(prep.valid, prep.depth, jnp.inf)
+    _, gidx_s, valid_si, rminx_s, rminy_s, rmaxx_s, rmaxy_s = jax.lax.sort(
+        (
+            depth_key,
+            jnp.arange(n, dtype=jnp.int32),
+            prep.valid.astype(jnp.int32),
+            prep.rect[:, 0],
+            prep.rect[:, 1],
+            prep.rect[:, 2],
+            prep.rect[:, 3],
+        ),
+        num_keys=2,
     )
 
-    # broadcast emission (no gathers): slot (g, k) -> tile id or sentinel
+    # 2. packed per-gaussian rows (original order, one narrow concat + one
+    # pad to 128 lanes — Mosaic DMA slices the lane dim at 128 granularity,
+    # and 512 B rows are also the fastest gather granule on this chip).
+    # Row layout: [x y conic3 op depth 0 | feat(C) | rect(4) | 0-pad].
+    # The kernel's feature slice 8:8+c_out may overlap the rect cols; those
+    # land in acc rows that are either sliced off (> channels) or
+    # overwritten by the final-T row, so the overlap is harmless.
+    rect_f = prep.rect.astype(jnp.float32)
+    packed = jnp.concatenate(
+        [
+            prep.mean2d,
+            prep.conic,
+            prep.opacity[:, None],
+            prep.depth[:, None],
+            jnp.zeros((n, 1)),
+            prep.features,
+            rect_f,
+        ],
+        axis=-1,
+    ).astype(jnp.float32)
+    # +1 sentinel row (opacity 0 -> inert), pad lanes to 128
+    packed = jnp.pad(packed, ((0, 1), (0, 128 - packed.shape[1])))
+
+    # 3. emit entries in depth order (broadcast over sort payloads)
+    valid_s = valid_si.astype(bool)
+    rw = jnp.maximum(rmaxx_s - rminx_s, 1)
+    area_raw = (rmaxx_s - rminx_s) * (rmaxy_s - rminy_s)
+    area = jnp.where(valid_s, jnp.minimum(area_raw, cap), 0)
+    overflow = jnp.sum(
+        jnp.where(valid_s, jnp.maximum(area_raw - cap, 0), 0)
+    )
+
     k = jnp.arange(cap, dtype=jnp.int32)
-    ty = rmin_y[:, None] + k[None, :] // rw[:, None]
-    tx = rmin_x[:, None] + k[None, :] % rw[:, None]
-    dup_valid = prep.valid[:, None] & (k[None, :] < area[:, None])
+    # k // rw and k % rw without integer division (no native int divide on
+    # the VPU — div/mod emit cost ~15 ms/frame): k < cap is tiny, so
+    # k // rw == sum_j [k >= j*rw] over j = 1..cap-1
+    kdiv = jnp.zeros((n, cap), jnp.int32)
+    for j in range(1, cap):
+        kdiv = kdiv + (k[None, :] >= j * rw[:, None]).astype(jnp.int32)
+    kmod = k[None, :] - kdiv * rw[:, None]
+    ty = rminy_s[:, None] + kdiv
+    tx = rminx_s[:, None] + kmod
+    dup_valid = valid_s[:, None] & (k[None, :] < area[:, None])
     tile_flat = jnp.where(
         dup_valid, ty * grid_x + tx, num_tiles
     ).astype(jnp.int32).reshape(-1)
-    depth_flat = jnp.broadcast_to(prep.depth[:, None], (n, cap)).reshape(-1)
-    gidx_flat = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], (n, cap)
+    g_flat = jnp.where(
+        dup_valid, gidx_s[:, None], n  # sentinel row index
     ).reshape(-1)
 
-    sorted_tile, _, sorted_gidx = jax.lax.sort(
-        (tile_flat, depth_flat, gidx_flat), num_keys=2
+    # 4. THE sort: stable single-key i32 (within a tile, input positions
+    # are depth-ordered -> CUB radix tie-break semantics, exactly)
+    sorted_tile, sorted_g = jax.lax.sort(
+        (tile_flat, g_flat), num_keys=1, is_stable=True
     )
     total = jnp.sum(area)
     overflow = overflow + jnp.maximum(total - kb, 0)
@@ -104,32 +164,13 @@ def bin_sorted_stream(
         side="left",
     ).astype(jnp.int32)
 
-    # ONE packed gather: every per-entry field the blend reads, row-major.
-    # Rows are padded to 128 lanes — XLA pads HBM arrays handed to Pallas to
-    # the (·,128) tiling anyway, and Mosaic requires DMA slices along the
-    # lane dim to be 128-aligned.
-    channels = prep.features.shape[-1]
-    packed = jnp.concatenate(
-        [
-            prep.mean2d,
-            prep.conic,
-            prep.opacity[:, None],
-            jnp.zeros((n, 2)),
-            prep.features,
-            jnp.zeros((n, 128 - 8 - channels)),
-        ],
-        axis=-1,
-    ).astype(jnp.float32)
-    packed = jnp.concatenate(
-        [packed, jnp.zeros((1, packed.shape[1]), jnp.float32)], axis=0
-    )  # sentinel row (opacity 0 -> inert)
-    safe_gidx = jnp.where(
-        jnp.arange(kb) < total, sorted_gidx[:kb], n
-    ).astype(jnp.int32)
-    stream = packed[safe_gidx]  # (kb, ncols) — THE gather
-    stream = jnp.concatenate(
-        [stream, jnp.zeros((ch, packed.shape[1]), jnp.float32)], axis=0
-    )  # chunk of slack so kernel windows never run off the end
+    # 5. stream gather in sorted-entry order straight from the original
+    # table (sentinel payloads produce inert zero rows, so the kernel's
+    # chunk slack comes from gathering kb + chunk rows, no extra copy)
+    sorted_g = jnp.concatenate(
+        [sorted_g, jnp.full((ch,), n, jnp.int32)], axis=0
+    )
+    stream = packed[sorted_g[: kb + ch]]  # (kb + chunk, 128)
     return stream, starts, overflow
 
 
@@ -168,13 +209,13 @@ def _stream_kernel(
     row = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
     sub = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
 
-    def cumsum_sublanes(x):
-        """Inclusive cumulative sum along the (gaussian) sublane axis via
-        log2(chunk) shift-add passes — exact f32."""
+    def cumprod_sublanes(x):
+        """Inclusive cumulative product along the sublane axis — the same
+        shift pattern with multiplies, avoiding the log/exp round-trip."""
         shift = 1
         while shift < chunk:
             rolled = pltpu.roll(x, shift, 0)
-            x = x + jnp.where(sub >= shift, rolled, 0.0)
+            x = x * jnp.where(sub >= shift, rolled, 1.0)
             shift *= 2
         return x
 
@@ -219,12 +260,17 @@ def _stream_kernel(
             a = jnp.where(
                 (power > 0.0) | (alpha < (1.0 / 255.0)) | (~in_r), 0.0, alpha
             )
-            logom = jnp.log1p(-a)  # 1-a >= 0.01
-            cum = cumsum_sublanes(logom)
-            T_incl = T_run * jnp.exp(cum)  # (chunk, P)
-            T_excl = T_run * jnp.exp(cum - logom)
+            om = 1.0 - a  # >= 0.01 wherever a > 0, == 1 where a == 0
+            cum = cumprod_sublanes(om)
+            T_incl = T_run * cum  # (chunk, P)
+            T_excl = T_incl / om  # exclusive; om bounded away from 0
+            # T_incl is monotone nonincreasing down the chunk, so crossed
+            # rows form a suffix: crossed_before is just a shift by one
+            # (saves a log2(chunk)-pass scan)
             crossed = (T_incl < 1e-4).astype(jnp.float32)
-            crossed_before = cumsum_sublanes(crossed) - crossed
+            crossed_before = jnp.where(
+                sub >= 1, pltpu.roll(crossed, 1, 0), 0.0
+            )
             applied = (
                 (dead == 0.0) & (crossed_before == 0.0) & (crossed == 0.0)
             )
@@ -235,8 +281,11 @@ def _stream_kernel(
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )  # (c_out, P)
-            T_run = T_run * jnp.exp(
-                jnp.sum(jnp.where(applied, logom, 0.0), axis=0, keepdims=True)
+            # T after this chunk = T_incl at the LAST applied row; T_incl is
+            # monotone nonincreasing over applied rows, so a min-reduce gets
+            # it (reduce_prod has no Mosaic lowering)
+            T_run = jnp.min(
+                jnp.where(applied, T_incl, T_run), axis=0, keepdims=True
             )
             any_crossed = (
                 jnp.max(

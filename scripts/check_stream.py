@@ -1,8 +1,9 @@
 """Quick parity check: stream kernel (interpret) vs exact XLA rasterizer."""
 import os
+import sys
 
-flags = os.environ.get("XLA_FLAGS", "")
-os.environ["XLA_FLAGS"] = flags
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")

@@ -6,7 +6,11 @@ mentally when comparing (measured by the noop row).
 """
 
 import functools
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
@@ -64,8 +68,8 @@ def main():
     opacity = jnp.ones((n,))
 
     config = R.RasterizeConfig(
-        max_dup_per_gaussian=8, chunk_size=128,
-        k_budget=2_500_000, impl="stream",
+        max_dup_per_gaussian=4, chunk_size=128,
+        k_budget=1_800_000, max_active_tiles=8192, impl="stream",
     )
     H = W = res * ssrate
     grid_x = -(-W // config.tile_x)
@@ -101,28 +105,72 @@ def main():
     print(f"bin (sort+gather):        {ms:8.1f} ms  "
           f"overflow={int(ovf)}")
 
-    # sort only
-    def sort_only(prep):
-        cap = config.max_dup_per_gaussian
-        nn = prep.depth.shape[0]
-        rmin_x, rmin_y = prep.rect[:, 0], prep.rect[:, 1]
-        rw = jnp.maximum(prep.rect[:, 2] - rmin_x, 1)
-        area_raw = (prep.rect[:, 2] - rmin_x) * (prep.rect[:, 3] - rmin_y)
-        area = jnp.where(prep.valid, jnp.minimum(area_raw, cap), 0)
-        k = jnp.arange(cap, dtype=jnp.int32)
-        ty = rmin_y[:, None] + k[None, :] // rw[:, None]
-        tx = rmin_x[:, None] + k[None, :] % rw[:, None]
-        dup_valid = prep.valid[:, None] & (k[None, :] < area[:, None])
-        tile_flat = jnp.where(dup_valid, ty * grid_x + tx, num_tiles)
-        tile_flat = tile_flat.astype(jnp.int32).reshape(-1)
-        depth_flat = jnp.broadcast_to(
-            prep.depth[:, None], (nn, cap)).reshape(-1)
-        gidx_flat = jnp.broadcast_to(
-            jnp.arange(nn, dtype=jnp.int32)[:, None], (nn, cap)).reshape(-1)
-        return jax.lax.sort((tile_flat, depth_flat, gidx_flat), num_keys=2)
+    # --- stage-level breakdown of the v3 binning -------------------------
+    nn = prep.depth.shape[0]
+    cap = config.max_dup_per_gaussian
+    kb = min(-(-(config.k_budget or nn * cap) // 128) * 128, nn * cap)
 
-    ms, _ = timeit(jax.jit(sort_only), prep)
-    print(f"  emit+sort only:         {ms:8.1f} ms")
+    def presort(prep):
+        depth_key = jnp.where(prep.valid, prep.depth, jnp.inf)
+        return jax.lax.sort(
+            (depth_key, jnp.arange(nn, dtype=jnp.int32),
+             prep.valid.astype(jnp.int32), prep.rect[:, 0], prep.rect[:, 1],
+             prep.rect[:, 2], prep.rect[:, 3]), num_keys=2,
+        )
+
+    ms, psort = timeit(jax.jit(presort), prep)
+    print(f"  presort 800K (7 ops):   {ms:8.1f} ms")
+    _, gidx_s, valid_si, rminx_s, rminy_s, rmaxx_s, rmaxy_s = psort
+
+    def build_packed(prep):
+        rect_f = prep.rect.astype(jnp.float32)
+        p = jnp.concatenate(
+            [prep.mean2d, prep.conic, prep.opacity[:, None],
+             prep.depth[:, None], jnp.zeros((nn, 1)), prep.features,
+             rect_f], axis=-1,
+        ).astype(jnp.float32)
+        return jnp.pad(p, ((0, 1), (0, 128 - p.shape[1])))
+
+    ms, packed = timeit(jax.jit(build_packed), prep)
+    print(f"  build packed table:     {ms:8.1f} ms")
+
+    def emit_sort(valid_si, rminx_s, rminy_s, rmaxx_s, rmaxy_s, gidx_s):
+        valid_s = valid_si.astype(bool)
+        rw = jnp.maximum(rmaxx_s - rminx_s, 1)
+        area_raw = (rmaxx_s - rminx_s) * (rmaxy_s - rminy_s)
+        area = jnp.where(valid_s, jnp.minimum(area_raw, cap), 0)
+        k = jnp.arange(cap, dtype=jnp.int32)
+        kdiv = jnp.zeros((nn, cap), jnp.int32)
+        for j in range(1, cap):
+            kdiv = kdiv + (k[None, :] >= j * rw[:, None]).astype(jnp.int32)
+        kmod = k[None, :] - kdiv * rw[:, None]
+        ty = rminy_s[:, None] + kdiv
+        tx = rminx_s[:, None] + kmod
+        dup_valid = valid_s[:, None] & (k[None, :] < area[:, None])
+        tile_flat = jnp.where(
+            dup_valid, ty * grid_x + tx, num_tiles
+        ).astype(jnp.int32).reshape(-1)
+        g_flat = jnp.where(dup_valid, gidx_s[:, None], nn).reshape(-1)
+        return jax.lax.sort((tile_flat, g_flat), num_keys=1, is_stable=True)
+
+    ms, (sorted_tile, sorted_g) = timeit(
+        jax.jit(emit_sort), valid_si, rminx_s, rminy_s, rmaxx_s, rmaxy_s,
+        gidx_s)
+    print(f"  emit + stable 1-key:    {ms:8.1f} ms")
+
+    def starts_fn(sorted_tile):
+        return jnp.searchsorted(
+            sorted_tile[:kb], jnp.arange(num_tiles + 1, dtype=jnp.int32),
+            side="left").astype(jnp.int32)
+
+    ms, _ = timeit(jax.jit(starts_fn), sorted_tile)
+    print(f"  searchsorted starts:    {ms:8.1f} ms")
+
+    def gather_stream(packed, sorted_g):
+        return packed[sorted_g[:kb]]
+
+    ms, _ = timeit(jax.jit(gather_stream), packed, sorted_g)
+    print(f"  stream gather {kb/1e6:.1f}M:     {ms:8.1f} ms")
 
     counts = starts[1:] - starts[:-1]
     print(f"  entries={int(starts[-1])} active_tiles="
@@ -174,6 +222,27 @@ def main():
         means, opacity, scales, rotations, feats,
     )
     print(f"full rasterize_stream:    {ms:8.1f} ms")
+
+    # whole bench frame: fused features + SH + render + downscale
+    from gpcr_tpu.render.renderer import render_views_fused
+
+    normal = jnp.zeros((n, 3))
+    valid = jnp.ones((n,), bool)
+    opac = jnp.ones((n,))
+
+    def frame(vt, ft, cp, means, scales, rotations, opac, shs, normal):
+        return render_views_fused(
+            vt[None], ft[None], cp[None], means, scales, rotations, opac,
+            shs, normal, valid, jnp.ones(3), rp["tanfov"],
+            height=H, width=W, out_h=res, out_w=res, sh_degree=1,
+            config=config, with_normal=False,
+        )
+
+    ms, _ = timeit(
+        jax.jit(frame), rp["view_t"][0], rp["full_t"][0], rp["campos"][0],
+        means, scales, rotations, opac, shs, normal,
+    )
+    print(f"bench frame (fused):      {ms:8.1f} ms")
 
 
 if __name__ == "__main__":
