@@ -113,13 +113,17 @@ def main(argv=None):
     ap.add_argument("dir1")
     ap.add_argument("dir2")
     ap.add_argument("--diff_dir", default=None)
+    ap.add_argument("--lpips_weights", default=None,
+                    help="path to a converted lpips_alex.npz (defaults to "
+                         "weights/lpips_alex.npz; see metrics.lpips."
+                         "convert_lpips_pth for the torch-free converter)")
     args = ap.parse_args(argv)
     if args.metric == "psnr":
         psnr_dirs(args.dir1, args.dir2, args.diff_dir)
     elif args.metric == "msssim":
         msssim_dirs(args.dir1, args.dir2)
     else:
-        lpips_dirs(args.dir1, args.dir2)
+        lpips_dirs(args.dir1, args.dir2, weights_path=args.lpips_weights)
 
 
 if __name__ == "__main__":

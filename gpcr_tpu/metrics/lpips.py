@@ -63,8 +63,11 @@ class LPIPS:
             flat = {k: z[k] for k in z.files}
         params: dict = {}
         for k, v in flat.items():
-            a, b = k.split("/")
-            params.setdefault(a, {})[b] = v
+            if "/" in k:
+                a, b = k.split("/")
+                params.setdefault(a, {})[b] = v
+            else:
+                params[k] = v
         return LPIPS(params)
 
     def _features(self, x):
@@ -108,14 +111,45 @@ def convert_torch_lpips(lpips_module) -> T.Dict[str, np.ndarray]:
     """Convert a torch ``lpips.LPIPS(net='alex')`` module to the npz layout.
     Run where torch+lpips exist; save with np.savez(path, **flat)."""
     sd = {k: v.detach().cpu().numpy() for k, v in lpips_module.state_dict().items()}
+    return convert_lpips_state_dict(sd)
+
+
+def convert_lpips_state_dict(
+    sd: T.Dict[str, np.ndarray],
+) -> T.Dict[str, np.ndarray]:
+    """Map an ``lpips.LPIPS(net='alex')`` state dict (numpy values) to the
+    npz layout. Key schema: the package registers the alexnet backbone as
+    ``net.slice{1..5}.<features_idx>.{weight,bias}`` (features conv indices
+    0/3/6/8/10) and the learned heads as ``lins.{i}.model.1.weight``."""
     flat = {}
     conv_idx = [0, 3, 6, 8, 10]  # torchvision alexnet.features conv layers
     for i, li in enumerate(conv_idx):
-        flat[f"conv{i}/kernel"] = sd[f"net.slice{i+1}.{li}.weight"]
-        flat[f"conv{i}/bias"] = sd[f"net.slice{i+1}.{li}.bias"]
+        flat[f"conv{i}/kernel"] = np.asarray(sd[f"net.slice{i+1}.{li}.weight"])
+        flat[f"conv{i}/bias"] = np.asarray(sd[f"net.slice{i+1}.{li}.bias"])
     for i in range(5):
-        flat[f"lin{i}"] = sd[f"lins.{i}.model.1.weight"]
+        flat[f"lin{i}"] = np.asarray(sd[f"lins.{i}.model.1.weight"])
     return flat
+
+
+def convert_lpips_pth(pth_path: str, out_path: str = DEFAULT_WEIGHTS) -> str:
+    """TORCH-FREE conversion: read an ``lpips`` .pth checkpoint through the
+    framework's torch-zip reader (io/torch_zip.py — whitelisted unpickler,
+    no torch import), map to the npz layout, and save. Returns out_path.
+
+    Drop any lpips-alex checkpoint at ``pth_path`` and the benchmark CLI's
+    LPIPS column lights up (pic_lpips.py:8-41 is the reference scorer)."""
+    from ..io.torch_zip import load_torch_zip
+
+    sd = load_torch_zip(pth_path)
+    if not isinstance(sd, dict):
+        raise ValueError(f"expected a state dict in {pth_path}")
+    # tolerate either a bare state dict or {'state_dict': ...}
+    if "state_dict" in sd and isinstance(sd["state_dict"], dict):
+        sd = sd["state_dict"]
+    flat = convert_lpips_state_dict(sd)
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    np.savez(out_path, **flat)
+    return out_path
 
 
 def random_lpips(key=None) -> LPIPS:
