@@ -59,6 +59,11 @@ class RasterizeConfig(T.NamedTuple):
     # vmapped while_loops) or "stream" (Pallas active-tile streaming kernel,
     # ops/rasterize_stream.py — same semantics, per-tile exact cost)
     impl: str = "xla"
+    # stream-path only: 2 folds the x2-supersampling 2x2-mean downscale into
+    # the kernel's tile write (renders at H x W, emits H/2 x W/2 — saves the
+    # full-res image round-trip + the separate resize pass). Requires
+    # H, W and tile dims even.
+    downscale: int = 1
 
 
 class GaussianRasterizationSettings(T.NamedTuple):

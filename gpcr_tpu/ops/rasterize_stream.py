@@ -194,6 +194,7 @@ def _stream_kernel(
     ncols: int,
     c_out: int,
     channels: int,
+    downscale: int = 1,
 ):
     i = pl.program_id(0)
     p = tile_x * tile_y
@@ -302,8 +303,31 @@ def _stream_kernel(
     acc0 = jnp.zeros((c_out, p), jnp.float32)
     dead0 = jnp.zeros((1, p), jnp.float32)
     T_run, acc, _ = jax.lax.fori_loop(0, nch, body, (T0, acc0, dead0))
-    out_ref[0] = acc
-    out_ref[0, c_out - 1 : c_out, :] = T_run
+    if downscale == 1:
+        out_ref[0] = acc
+        out_ref[0, c_out - 1 : c_out, :] = T_run
+    else:
+        # fused 2x2-mean downscale: one (P, P/4) 0.25-selection matmul —
+        # compositing is linear, so downsampling acc and T separately is
+        # exact (final = acc_down + T_down * bg downstream)
+        d = downscale
+        ox = tile_x // d
+        pq = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+        qy = (pq // tile_x) // d
+        qx = (pq % tile_x) // d
+        q_of_p = qy * ox + qx  # (p, 1)
+        qcol = jax.lax.broadcasted_iota(jnp.int32, (p, p // (d * d)), 1)
+        D = jnp.where(q_of_p == qcol, 1.0 / (d * d), 0.0)
+        out_ref[0] = jax.lax.dot_general(
+            acc, D, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        out_ref[0, c_out - 1 : c_out, :] = jax.lax.dot_general(
+            T_run, D, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
 
 # --------------------------------------------------------------------------
@@ -329,6 +353,8 @@ def blend_stream(
     Returns (out (num_tiles, P, C), final_T (num_tiles, P), overflow).
     """
     p = config.tile_x * config.tile_y
+    ds = config.downscale
+    p_out = p // (ds * ds)
     ch = config.chunk_size
     c_out = _round_up(channels + 1, 8)  # acc channels + final-T row
 
@@ -350,7 +376,8 @@ def blend_stream(
         grid=(n_grid,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
-            (1, c_out, p), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, c_out, p_out), lambda i, *_: (i, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
             pltpu.VMEM((2, ch, ncols), jnp.float32),
@@ -366,23 +393,24 @@ def blend_stream(
         ncols=ncols,
         c_out=c_out,
         channels=channels,
+        downscale=ds,
     )
     out_o = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_grid, c_out, p), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_grid, c_out, p_out), jnp.float32),
         interpret=interpret,
     )(order_g, starts, stream)
 
     # order space -> tile space; uncovered tiles get acc=0, T=1
     if n_grid < num_tiles:
-        base = jnp.zeros((num_tiles, c_out, p), jnp.float32)
+        base = jnp.zeros((num_tiles, c_out, p_out), jnp.float32)
         base = base.at[:, c_out - 1, :].set(1.0)
         out_t = base.at[order_g].set(out_o)
     else:
-        out_t = jnp.zeros((num_tiles, c_out, p), jnp.float32).at[order_g].set(
-            out_o
-        )
+        out_t = jnp.zeros(
+            (num_tiles, c_out, p_out), jnp.float32
+        ).at[order_g].set(out_o)
     t_run = out_t[:, c_out - 1, :]  # (num_tiles, P)
     acc = out_t[:, :channels, :].transpose(0, 2, 1)  # (num_tiles, P, C)
     out = acc + t_run[..., None] * bg[None, None, :]
@@ -422,7 +450,17 @@ def rasterize_gaussians_stream(
     )
     from .rasterize_pallas import assemble_tiles
 
-    color, t_img = assemble_tiles(out, t_run, H, W, config)
+    ds = config.downscale
+    if ds > 1:
+        # tiles shrank to (tile/ds)^2 in the kernel: assemble at H/ds, W/ds
+        if H % ds or W % ds or config.tile_x % ds or config.tile_y % ds:
+            raise ValueError("downscale requires even H/W/tile dims")
+        acfg = config._replace(
+            tile_x=config.tile_x // ds, tile_y=config.tile_y // ds
+        )
+        color, t_img = assemble_tiles(out, t_run, H // ds, W // ds, acfg)
+    else:
+        color, t_img = assemble_tiles(out, t_run, H, W, config)
     radii = prep.radius.astype(jnp.int32)
     if return_extra:
         return color, radii, {"final_T": t_img, "dup_overflow": overflow}

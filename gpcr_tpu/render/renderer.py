@@ -131,6 +131,8 @@ def bilinear_resize(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     (align_corners=False; simple_raw_render.py:281-284). For integer 2x
     downscale this reduces to 2x2 averaging."""
     h, w = img.shape[-2], img.shape[-1]
+    if h == out_h and w == out_w:
+        return img
     if h == 2 * out_h and w == 2 * out_w:
         x = img.reshape(*img.shape[:-2], out_h, 2, out_w, 2)
         return x.mean(axis=(-3, -1))
@@ -215,6 +217,18 @@ def render_views_fused(
 ):
     """All views of one cloud in one jit: lax.map over view matrices, fused
     channels, supersample downscale. Returns dict of (q, out_h, out_w, 3)."""
+    if (
+        config.impl == "stream"
+        and config.downscale == 1
+        and height == 2 * out_h
+        and width == 2 * out_w
+        and config.tile_x % 2 == 0
+        and config.tile_y % 2 == 0
+    ):
+        # fold the x2-supersampling downscale into the stream kernel's tile
+        # write: saves the full-res (C, H, W) image materialization and the
+        # separate resize pass
+        config = config._replace(downscale=2)
 
     def one(args):
         vt, ft, cp = args

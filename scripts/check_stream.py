@@ -59,4 +59,24 @@ for kb, mat in [(None, None), (8192, 12), (None, 16)]:
           f"radii_match={bool(jnp.all(radii == radii_ref))}")
     if mat is None:
         assert err < 1e-5, err
+
+# fused 2x2 downscale vs full-res render + 2x2 mean
+config = R.RasterizeConfig(max_dup_per_gaussian=16, chunk_size=64,
+                           downscale=2)
+ref_full, _ = R.rasterize_gaussians(
+    means, op, settings, scales=scales, rotations=rots,
+    colors_precomp=feats, valid_mask=valid,
+    config=config._replace(downscale=1),
+)
+ref_ds = ref_full.reshape(12, 32, 2, 32, 2).mean(axis=(2, 4))
+out_ds, _, extra = rasterize_gaussians_stream(
+    means, op, settings, scales=scales, rotations=rots,
+    colors_precomp=feats, valid_mask=valid, config=config,
+    interpret=True, return_extra=True,
+)
+err = float(jnp.max(jnp.abs(out_ds - ref_ds)))
+print(f"downscale=2: out={out_ds.shape} max_err={err:.2e}")
+assert out_ds.shape == (12, 32, 32), out_ds.shape
+assert err < 1e-5, err
+assert extra["final_T"].shape == (32, 32)
 print("OK")

@@ -1,0 +1,104 @@
+"""TPU smoke test — runs on the REAL device (not under the CPU-forcing test
+conftest): renders a small scene on the TPU and on CPU, checks parity, and
+asserts the timing sync actually blocks (jax.block_until_ready is a no-op on
+the axon platform — utils/timing.sync must provide the barrier).
+
+Run:  python scripts/tpu_smoke.py     (exit 0 = pass)
+The driver's bench env runs this class of check; the CPU test suite cannot
+catch platform-specific regressions (matmul precision, layout, Pallas
+lowering) that this does.
+"""
+
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def render_small(platform: str, use_stream: bool):
+    """Render in a subprocess pinned to `platform`; returns (rgb, ms)."""
+    code = f"""
+import sys, json
+sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+import jax
+{'jax.config.update("jax_platforms", "cpu")' if platform == 'cpu' else ''}
+import numpy as np
+import jax.numpy as jnp
+import time
+from gpcr_tpu.ops import rasterize as R
+from gpcr_tpu.utils.timing import sync
+
+rng = np.random.RandomState(0)
+n = 5000
+means = jnp.asarray(rng.randn(n, 3) * 0.3 + np.array([0, 0, 2.5]), jnp.float32)
+scales = jnp.asarray(rng.rand(n, 3) * 0.05 + 0.01, jnp.float32)
+rots = jnp.asarray(rng.randn(n, 4), jnp.float32)
+op = jnp.asarray(rng.rand(n), jnp.float32)
+feats = jnp.asarray(rng.rand(n, 3), jnp.float32)
+
+view = jnp.eye(4)
+P = np.zeros((4, 4), np.float32)
+P[0, 0] = P[1, 1] = 1.0
+P[3, 2] = 1.0
+P[2, 2] = 100.0 / (100.0 - 0.01)
+P[2, 3] = -(100.0 * 0.01) / (100.0 - 0.01)
+settings = R.GaussianRasterizationSettings(
+    image_height=128, image_width=128, tanfovx=1.0, tanfovy=1.0,
+    bg=jnp.full((3,), 0.5), scale_modifier=1.0,
+    viewmatrix=view, projmatrix=jnp.asarray(P.T), sh_degree=0,
+    campos=jnp.zeros(3),
+)
+config = R.RasterizeConfig(
+    max_dup_per_gaussian=16, chunk_size=64,
+    impl={"'stream'" if use_stream else "'xla'"},
+)
+import functools
+fn = jax.jit(functools.partial(
+    R.rasterize_gaussians, settings=settings, config=config))
+out, _ = fn(means, op, scales=scales, rotations=rots, colors_precomp=feats)
+sync(out)
+t0 = time.perf_counter()
+out, _ = fn(means, op, scales=scales, rotations=rots, colors_precomp=feats)
+sync(out)
+ms = (time.perf_counter() - t0) * 1e3
+np.save("/tmp/smoke_{platform}_{int(use_stream)}.npy", np.asarray(out))
+print(json.dumps(dict(ms=ms, platform=str(jax.devices()[0]))))
+"""
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=900)
+    if r.returncode != 0:
+        raise RuntimeError(f"{platform} render failed:\n{r.stderr[-2000:]}")
+    import json
+
+    line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
+    meta = json.loads(line)
+    rgb = np.load(f"/tmp/smoke_{platform}_{int(use_stream)}.npy")
+    return rgb, meta
+
+
+def main():
+    cpu_xla, _ = render_small("cpu", use_stream=False)
+    tpu_xla, meta = render_small("tpu", use_stream=False)
+    assert "TPU" in meta["platform"], f"not on TPU: {meta['platform']}"
+    err = float(np.abs(cpu_xla - tpu_xla).max())
+    print(f"TPU xla-path vs CPU: max_err={err:.2e} (device {meta['platform']})")
+    assert err < 5e-5, err
+
+    tpu_stream, meta2 = render_small("tpu", use_stream=True)
+    err2 = float(np.abs(cpu_xla - tpu_stream).max())
+    print(f"TPU stream-path (Pallas kernel) vs CPU: max_err={err2:.2e}")
+    assert err2 < 5e-5, err2
+
+    # the sync must be a real barrier: a second timed run of a heavy op must
+    # cost milliseconds, not microseconds (dispatch-only would be ~0)
+    assert meta["ms"] > 1.0, f"sync did not block ({meta['ms']} ms)"
+    print(f"timing sync blocks: {meta['ms']:.1f} ms for the timed render")
+    print("TPU SMOKE OK")
+
+
+if __name__ == "__main__":
+    main()
