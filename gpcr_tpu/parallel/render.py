@@ -47,8 +47,11 @@ def rasterize_tile_sharded(
     grid_y = -(-H // config.tile_y)
     num_tiles = grid_x * grid_y
     n_shards = mesh.shape[axis]
-    assert num_tiles % n_shards == 0, (num_tiles, n_shards)
-    tiles_local = num_tiles // n_shards
+    # pad the tile range so any device count works (e.g. 4096 tiles on 3
+    # devices): trailing shards blend a clamped duplicate tile whose output
+    # is sliced away at assembly
+    tiles_local = -(-num_tiles // n_shards)
+    num_tiles_pad = tiles_local * n_shards
 
     prep = R.preprocess(
         means3d, opacities, settings, config,
@@ -73,7 +76,7 @@ def rasterize_tile_sharded(
         base = d * tiles_local
 
         def one(j):
-            tile_idx = (base + j).astype(jnp.int32)
+            tile_idx = jnp.minimum(base + j, num_tiles - 1).astype(jnp.int32)
             return R._blend_one_tile(
                 tile_idx, starts[tile_idx], starts[tile_idx + 1],
                 sorted_gidx, packed_all, grid_x, config, channels,
@@ -92,7 +95,9 @@ def rasterize_tile_sharded(
         check_vma=False,
     )(packed_all, sorted_gidx, starts)
 
-    # assemble (num_tiles, P, C) -> (C, H, W)
+    # assemble (num_tiles, P, C) -> (C, H, W); drop clamp-padded tiles
+    acc = acc[:num_tiles]
+    t_run = t_run[:num_tiles]
     p = config.tile_x * config.tile_y
     out = acc + t_run[..., None] * settings.bg[None, None, :]
     out = out.reshape(grid_y, grid_x, config.tile_y, config.tile_x, channels)

@@ -65,17 +65,39 @@ def replicate(tree, mesh: Mesh):
     return jax.device_put(tree, s)
 
 
-def shard_batch(batch: dict, mesh: Mesh) -> dict:
+# canonical batch-key shardings; extend via shard_batch(spec=...) — unknown
+# keys RAISE rather than silently mis-shard
+_CLOUD_KEYS = frozenset({"coords", "rgb", "valid", "normal", "feature"})
+_VIEW_KEYS = frozenset(
+    {"view_t", "full_t", "campos", "gt_rgb", "gt_normal", "gt_hit"}
+)
+
+
+def shard_batch(
+    batch: dict, mesh: Mesh, spec: T.Optional[T.Dict[str, str]] = None,
+) -> dict:
     """Apply the canonical shardings to a batch dict.
 
-    Keys with leading (B, N) point dims use cloud sharding; keys with
-    (B, V, ...) view dims use view sharding.
+    Keys with leading (B, N) point dims use cloud sharding ('cloud'); keys
+    with (B, V, ...) view dims use view sharding ('view'); 0-d entries are
+    replicated. New keys must be declared in ``spec`` (mapping key ->
+    'cloud' | 'view' | 'replicated') — unknown keys raise instead of being
+    silently view-sharded.
     """
     sh = batch_sharding(mesh)
+    kinds = {k: "cloud" for k in _CLOUD_KEYS}
+    kinds.update({k: "view" for k in _VIEW_KEYS})
+    if spec:
+        kinds.update(spec)
     out = {}
     for k, v in batch.items():
-        if k in ("coords", "rgb", "valid"):
-            out[k] = jax.device_put(v, sh["cloud"])
-        else:
-            out[k] = jax.device_put(v, sh["view"])
+        kind = kinds.get(k)
+        if kind is None and getattr(v, "ndim", 1) == 0:
+            kind = "replicated"
+        if kind is None:
+            raise ValueError(
+                f"shard_batch: unknown batch key {k!r}; declare it via "
+                f"spec={{{k!r}: 'cloud' | 'view' | 'replicated'}}"
+            )
+        out[k] = jax.device_put(v, sh[kind])
     return out

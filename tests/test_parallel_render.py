@@ -40,3 +40,46 @@ def test_tile_sharded_matches_single():
     np.testing.assert_allclose(
         np.asarray(c_sh), np.asarray(c_ref), atol=1e-5, rtol=1e-5
     )
+
+
+def test_tile_sharded_non_divisible():
+    """9 tiles over 8 devices: the padded-range path must still be exact."""
+    W = H = 48  # 3x3 tiles = 9, not divisible by 8
+    means, scales, rots, ops_, feats = random_scene(80, seed=5)
+    view_t, full_t, tanfov, campos = make_camera_matrices([0.1, 0.0, -2.2], W, H)
+    settings = R.GaussianRasterizationSettings(
+        image_height=H, image_width=W, tanfovx=tanfov, tanfovy=tanfov,
+        bg=jnp.asarray([0.5, 0.5, 0.0]), scale_modifier=1.0,
+        viewmatrix=view_t, projmatrix=full_t, sh_degree=0, campos=campos,
+    )
+    cfg = R.RasterizeConfig(max_dup_per_gaussian=32, chunk_size=32,
+                            tile_batch=4)
+    c_ref, _ = R.rasterize_gaussians(
+        jnp.asarray(means), jnp.asarray(ops_), settings,
+        scales=jnp.asarray(scales), rotations=jnp.asarray(rots),
+        colors_precomp=jnp.asarray(feats), config=cfg,
+    )
+    mesh = make_mesh(sp=8)
+    with mesh:
+        c_sh, _, _ = rasterize_tile_sharded(
+            jnp.asarray(means), jnp.asarray(ops_), settings, mesh, axis="sp",
+            scales=jnp.asarray(scales), rotations=jnp.asarray(rots),
+            colors_precomp=jnp.asarray(feats), config=cfg,
+        )
+    np.testing.assert_allclose(
+        np.asarray(c_sh), np.asarray(c_ref), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_shard_batch_unknown_key_raises():
+    from gpcr_tpu.parallel.sharding import shard_batch
+
+    mesh = make_mesh(dp=2, sp=4)
+    batch = {"coords": jnp.zeros((2, 8, 3)), "mystery": jnp.zeros((2, 4))}
+    try:
+        shard_batch(batch, mesh)
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "mystery" in str(e)
+    out = shard_batch(batch, mesh, spec={"mystery": "view"})
+    assert set(out) == {"coords", "mystery"}
