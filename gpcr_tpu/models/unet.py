@@ -159,7 +159,11 @@ class SparseUNet:
             g = pgrid
         kmaps = [sparse.build_kernel_map(g, 3) for g in grids]
         return {"grids": grids, "downs": downs, "kmaps": kmaps,
-                "overflow": [g.num > g.capacity for g in grids]}
+                "overflow": [g.num > g.capacity for g in grids],
+                # blocked-gather safety: every conv's window (default 16384)
+                # must cover the largest neighbor-index distance; hosts
+                # check this once per cloud (renderer.py does)
+                "max_delta": [sparse.kmap_max_delta(k) for k in kmaps]}
 
     # ---- forward (model_v2.py:202-226) --------------------------------------
 

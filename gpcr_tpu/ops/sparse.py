@@ -60,12 +60,30 @@ def plan_capacities(
 
     c = np.asarray(coords_np)
     c = np.clip(np.round(c), 0, GRID_MAX - 1).astype(np.int64)
+    codes = (c[:, 0] << (2 * GRID_BITS)) | (c[:, 1] << GRID_BITS) | c[:, 2]
+    # ONE sort serves every level: the per-level parent map
+    # (x>>1, y>>1, z>>1) equals (code >> 1) masked to clear the bit that
+    # crosses each 10-bit field — a monotone map, so sortedness persists
+    # and unique counting is a vectorized diff (was 4 np.unique calls,
+    # ~3 s at 800K; now ~100 ms)
+    # sort + diff replaces np.unique; each level deduplicates before the
+    # next (shrinking) sort. The parent code is (code >> 1) with the bits
+    # that crossed the two field boundaries cleared — exactly
+    # pack(x>>1, y>>1, z>>1) — but NOT order-preserving, hence the re-sort.
+    codes = np.sort(codes)
+    fmask = ((GRID_MAX // 2 - 1) << (2 * GRID_BITS)) | (
+        (GRID_MAX // 2 - 1) << GRID_BITS
+    ) | (GRID_MAX // 2 - 1)
     caps = []
     for lvl in range(levels):
-        codes = (c[:, 0] << (2 * GRID_BITS)) | (c[:, 1] << GRID_BITS) | c[:, 2]
-        n = len(np.unique(codes))
+        if len(codes):
+            new = np.empty(len(codes), bool)
+            new[0] = True
+            np.not_equal(codes[1:], codes[:-1], out=new[1:])
+            codes = codes[new]  # dedup
+        n = len(codes)
         caps.append(int(-(-int(n * margin) // bucket)) * bucket)
-        c = c >> 1
+        codes = np.sort((codes >> 1) & fmask)
     return tuple(caps)
 
 
@@ -228,6 +246,90 @@ def build_kernel_map(grid: SparseGrid, kernel_size: int) -> jnp.ndarray:
     return idx.reshape(q.shape)  # (Nmax, K³)
 
 
+def kmap_max_delta(kmap: jnp.ndarray) -> jnp.ndarray:
+    """Largest |gather index - own row| over kernel-map hits — the
+    blocked-gather window must cover this (see ``conv``'s window path)."""
+    cap = kmap.shape[0]
+    own = jnp.arange(cap, dtype=jnp.int32)[:, None]
+    hit = kmap < cap
+    return jnp.max(jnp.where(hit, jnp.abs(kmap - own), 0))
+
+
+def _gather_conv_blocked(
+    feats_pad: jnp.ndarray,  # (cap + 1, C) zero sentinel at cap
+    kmap: jnp.ndarray,  # (cap, K)
+    dot_fns: T.Sequence[T.Callable],  # g (rows, C), i -> (rows, Cout_j)
+    couts: T.Sequence[int],
+    block: int,
+    window: int,
+):
+    """Core of the blocked-window gather conv: voxels processed in blocks of
+    ``block`` rows, each gathering from a [b*block - window, +block+window)
+    slice of the table. Gather sources under ~130K rows run ~6x faster than
+    full-table gathers on this chip (the gather-rate cliff — measured in
+    scripts/microbench_cliff.py: 89M vs 508M rows/s at the L0 shape), and
+    sorted voxel codes make neighbor indices local, so a 16K window covers
+    them with ~8x margin (callers check kmap_max_delta <= window).
+
+    Out-of-window hits are clamped (callers must validate the window);
+    misses (index == cap) read the per-window zero sentinel row.
+    """
+    capp, c = feats_pad.shape
+    cap = capp - 1
+    kk = kmap.shape[1]
+
+    def accumulate(rows_of, km_rows, nrows):
+        accs = tuple(jnp.zeros((nrows, co), jnp.float32) for co in couts)
+
+        def body(i, accs):
+            g = rows_of(km_rows, i)
+            return tuple(
+                acc + fn(g, i) for acc, fn in zip(accs, dot_fns)
+            )
+
+        return jax.lax.fori_loop(0, kk, body, accs)
+
+    if cap <= block + 2 * window:
+        def rows(km, i):
+            return feats_pad[km[:, i]]
+
+        return accumulate(rows, kmap, cap)
+
+    nb = -(-cap // block)
+    npad = nb * block
+    km_pad = jnp.pad(
+        kmap, ((0, npad - cap), (0, 0)), constant_values=cap
+    )
+    win_rows = block + 2 * window
+
+    def one_block(b, outs):
+        lo = jnp.clip(b * block - window, 0, capp - win_rows)
+        win = jax.lax.dynamic_slice(feats_pad, (lo, 0), (win_rows, c))
+        win = jnp.concatenate(
+            [win, jnp.zeros((1, c), feats_pad.dtype)], axis=0
+        )
+        km_blk = jax.lax.dynamic_slice(km_pad, (b * block, 0), (block, kk))
+
+        def rows(km, i):
+            gidx = km[:, i]
+            local = jnp.where(
+                gidx >= cap, win_rows, jnp.clip(gidx - lo, 0, win_rows - 1)
+            )
+            return win[local]
+
+        blk = accumulate(rows, km_blk, block)
+        return tuple(
+            jax.lax.dynamic_update_slice(o, nb_o, (b * block, 0))
+            for o, nb_o in zip(outs, blk)
+        )
+
+    outs = jax.lax.fori_loop(
+        0, nb, one_block,
+        tuple(jnp.zeros((npad, co), jnp.float32) for co in couts),
+    )
+    return tuple(o[:cap] for o in outs)
+
+
 # --------------------------------------------------------------------------
 # convolutions
 # --------------------------------------------------------------------------
@@ -239,28 +341,31 @@ def conv(
     weight: jnp.ndarray,  # (K³, Cin, Cout)
     bias: T.Optional[jnp.ndarray] = None,  # (Cout,)
     compute_dtype=None,
+    block: T.Optional[int] = 65_536,
+    window: int = 16_384,
 ) -> jnp.ndarray:
     """Stride-1 sparse conv on a fixed coordinate set. Returns (Nmax, Cout)
     float32.
 
-    Per-offset gather + matmul accumulation — K³ MXU matmuls, HBM traffic
-    K³·N·Cin reads (no im2col materialization). ``compute_dtype=bfloat16``
-    halves gather traffic and quadruples MXU throughput; accumulation stays
-    f32 via preferred_element_type.
+    Per-offset gather + matmul accumulation — K³ MXU matmuls, no im2col
+    materialization. Large tables use the blocked-window gather
+    (_gather_conv_blocked, ~6x faster past the gather-rate cliff);
+    ``block=None`` forces the global path (exact regardless of window).
+    Callers with nonstandard coordinate distributions should check
+    ``kmap_max_delta(kmap) <= window`` once per plan.
     """
     feats = grid.feats if compute_dtype is None else grid.feats.astype(compute_dtype)
     w = weight if compute_dtype is None else weight.astype(compute_dtype)
     feats_pad = jnp.concatenate(
         [feats, jnp.zeros((1, feats.shape[1]), feats.dtype)], axis=0
     )
-    kk = weight.shape[0]
 
-    def body(i, acc):
-        g = feats_pad[kmap[:, i]]  # (Nmax, Cin)
-        return acc + jnp.dot(g, w[i], preferred_element_type=jnp.float32)
+    def dot(g, i):
+        return jnp.dot(g, w[i], preferred_element_type=jnp.float32)
 
-    out = jax.lax.fori_loop(
-        0, kk, body, jnp.zeros((grid.capacity, weight.shape[2]), jnp.float32)
+    (out,) = _gather_conv_blocked(
+        feats_pad, kmap, [dot], [weight.shape[2]],
+        block or grid.capacity, window,
     )
     if bias is not None:
         out = out + bias
@@ -274,12 +379,13 @@ def conv_multi(
     weights: T.Sequence[jnp.ndarray],  # (K³, C_i, Cout_i) per input
     biases: T.Sequence[T.Optional[jnp.ndarray]],
     compute_dtype=None,
+    block: T.Optional[int] = 65_536,
+    window: int = 16_384,
 ) -> T.List[jnp.ndarray]:
     """Several stride-1 convs over the SAME kernel map with ONE gather per
     offset: the inputs are channel-concatenated so the (index-throughput-
-    bound) neighbor gather is shared. Saves len(feats_list)-1 gather passes
-    vs separate ``conv`` calls (TPU row-gathers run at ~100M rows/s — see
-    PERFORMANCE.md)."""
+    bound) neighbor gather is shared, and the blocked-window path applies
+    (see conv)."""
     packed = jnp.concatenate(list(feats_list), axis=-1)
     if compute_dtype is not None:
         packed = packed.astype(compute_dtype)
@@ -289,24 +395,22 @@ def conv_multi(
     packed_pad = jnp.concatenate(
         [packed, jnp.zeros((1, packed.shape[1]), packed.dtype)], axis=0
     )
-    kk = weights[0].shape[0]
-    outs = [
-        jnp.zeros((grid.capacity, w.shape[2]), jnp.float32) for w in weights
-    ]
 
-    def body(i, accs):
-        g = packed_pad[kmap[:, i]]
-        new = []
-        off = 0
-        for j, (w, c) in enumerate(zip(ws, splits)):
-            new.append(accs[j] + jnp.dot(
-                g[:, off : off + c], w[i],
-                preferred_element_type=jnp.float32,
-            ))
-            off += c
-        return tuple(new)
+    dot_fns = []
+    off = 0
+    for w, c in zip(ws, splits):
+        def make(w=w, lo=off, hi=off + c):
+            def dot(g, i):
+                return jnp.dot(g[:, lo:hi], w[i],
+                               preferred_element_type=jnp.float32)
+            return dot
+        dot_fns.append(make())
+        off += c
 
-    outs = jax.lax.fori_loop(0, kk, body, tuple(outs))
+    outs = _gather_conv_blocked(
+        packed_pad, kmap, dot_fns, [w.shape[2] for w in weights],
+        block or grid.capacity, window,
+    )
     result = []
     for j, out in enumerate(outs):
         if biases[j] is not None:

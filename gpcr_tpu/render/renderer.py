@@ -481,6 +481,17 @@ class PCMLRender:
         grid = sparse.quantize_average(coords, feats, valid=valid,
                                        capacity=caps[0])
         plan = self.model.build_plan(grid, level_capacity=caps)
+        # blocked-gather window check (one host sync per cloud): surface
+        # clouds have neighbor-index distances far below the 16K default
+        # window; a pathological coordinate distribution must use the
+        # global gather path instead of silently clamping
+        md = max(int(d) for d in plan["max_delta"])
+        if md > 16_384:
+            raise ValueError(
+                f"kernel-map neighbor distance {md} exceeds the blocked-"
+                f"gather window (16384); pass block=None through "
+                f"SparseUNet's convs for this cloud"
+            )
         return self.model.apply(self.params, grid, plan), grid, plan
 
     def render(

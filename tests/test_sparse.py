@@ -215,3 +215,57 @@ def test_pcencoder_head_deployed_config():
         np.asarray(sp.center_points[:num] + sp.offsets[:num]),
         rtol=1e-6,
     )
+
+
+def test_plan_capacities_matches_bruteforce():
+    rng = np.random.RandomState(7)
+    coords = rng.randint(0, 1024, (20_000, 3)).astype(np.float32)
+    caps = sparse.plan_capacities(coords, bucket=1)
+    c = np.round(coords).astype(np.int64)
+    for lvl in range(4):
+        codes = (c[:, 0] << 20) | (c[:, 1] << 10) | c[:, 2]
+        want = int(len(np.unique(codes)) * 1.05)
+        assert caps[lvl] == want, (lvl, caps[lvl], want)
+        c = c >> 1
+
+
+def _rand_grid(n_pts, cap, cin, seed=0):
+    rng = np.random.RandomState(seed)
+    coords = rng.randint(0, 40, (n_pts, 3)).astype(np.float32)
+    feats = rng.rand(n_pts, cin).astype(np.float32)
+    return sparse.quantize_average(
+        jnp.asarray(coords), jnp.asarray(feats), capacity=cap)
+
+
+def test_conv_blocked_matches_global():
+    """The blocked-window gather path == the global path (exact)."""
+    rng = np.random.RandomState(1)
+    grid = _rand_grid(3000, 2048, 8, seed=1)
+    kmap = sparse.build_kernel_map(grid, 3)
+    w = jnp.asarray(rng.rand(27, 8, 16).astype(np.float32) - 0.5)
+    b = jnp.asarray(rng.rand(16).astype(np.float32))
+
+    ref = sparse.conv(grid, kmap, w, b, block=None)
+    md = int(sparse.kmap_max_delta(kmap))
+    got = sparse.conv(grid, kmap, w, b, block=256, window=max(md, 64))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_conv_multi_blocked_matches_global():
+    rng = np.random.RandomState(2)
+    grid = _rand_grid(2500, 2048, 8, seed=2)
+    kmap = sparse.build_kernel_map(grid, 3)
+    md = int(sparse.kmap_max_delta(kmap))
+    f2 = jnp.asarray(rng.rand(grid.capacity, 4).astype(np.float32))
+    w1 = jnp.asarray(rng.rand(27, 8, 8).astype(np.float32) - 0.5)
+    w2 = jnp.asarray(rng.rand(27, 4, 12).astype(np.float32) - 0.5)
+    b2 = jnp.asarray(rng.rand(12).astype(np.float32))
+
+    ref = sparse.conv_multi(grid, kmap, [grid.feats, f2], [w1, w2],
+                            [None, b2], block=None)
+    got = sparse.conv_multi(grid, kmap, [grid.feats, f2], [w1, w2],
+                            [None, b2], block=512, window=max(md, 64))
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-5, atol=1e-6)
