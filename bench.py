@@ -50,6 +50,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from gpcr_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from gpcr_tpu.ops import rasterize as R
     from gpcr_tpu.render.renderer import (
         get_rasterize_param_from_camera, pcgc_rescale, render_views_fused,

@@ -236,6 +236,9 @@ def build_parser():
 
 
 def main(argv=None):
+    from ..utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     args = build_parser().parse_args(argv)
     bc = args.background_color.split(",")
     if len(bc) == 1:

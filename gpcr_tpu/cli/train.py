@@ -16,6 +16,9 @@ import time
 
 
 def main(argv=None):
+    from ..utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--batch_size", type=int, default=2)

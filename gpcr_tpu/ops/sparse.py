@@ -61,15 +61,11 @@ def plan_capacities(
     c = np.asarray(coords_np)
     c = np.clip(np.round(c), 0, GRID_MAX - 1).astype(np.int64)
     codes = (c[:, 0] << (2 * GRID_BITS)) | (c[:, 1] << GRID_BITS) | c[:, 2]
-    # ONE sort serves every level: the per-level parent map
-    # (x>>1, y>>1, z>>1) equals (code >> 1) masked to clear the bit that
-    # crosses each 10-bit field — a monotone map, so sortedness persists
-    # and unique counting is a vectorized diff (was 4 np.unique calls,
-    # ~3 s at 800K; now ~100 ms)
-    # sort + diff replaces np.unique; each level deduplicates before the
-    # next (shrinking) sort. The parent code is (code >> 1) with the bits
-    # that crossed the two field boundaries cleared — exactly
-    # pack(x>>1, y>>1, z>>1) — but NOT order-preserving, hence the re-sort.
+    # sort + diff replaces np.unique (was 4 unique calls, ~3 s at 800K);
+    # each level deduplicates before the next (shrinking) sort. The parent
+    # code is (code >> 1) with the bits that crossed the two field
+    # boundaries cleared — exactly pack(x>>1, y>>1, z>>1) — but NOT
+    # order-preserving, hence the per-level re-sort.
     codes = np.sort(codes)
     fmask = ((GRID_MAX // 2 - 1) << (2 * GRID_BITS)) | (
         (GRID_MAX // 2 - 1) << GRID_BITS
@@ -229,6 +225,56 @@ def lookup(codes_sorted: jnp.ndarray, num: jnp.ndarray, queries: jnp.ndarray):
     return jnp.where(found, pos_c, cap), found
 
 
+def lookup_merge(
+    codes_sorted: jnp.ndarray, num: jnp.ndarray, queries: jnp.ndarray,
+    max_run: int = 64,
+):
+    """``lookup`` via two explicit merges — no post-search verification
+    gather (that gather hits the gather-rate cliff: at 23M queries over an
+    852K table it alone costs ~250 ms) and no jnp.searchsorted lowering
+    (which dominated the plan's 4-minute compile).
+
+    Requires every query VALUE to occur fewer than ``max_run`` times
+    (true for kernel maps: a voxel is queried once per (source, offset),
+    <= 27 + its own code row; and for parent lookups: <= 8 children).
+    Returns (idx, found) with the same semantics as ``lookup``.
+    """
+    cap = codes_sorted.shape[0]
+    m = queries.shape[0]
+    val = jnp.concatenate([codes_sorted, queries])
+    tag = jnp.concatenate(
+        [jnp.zeros((cap,), jnp.int32), jnp.ones((m,), jnp.int32)]
+    )
+    pay = jnp.concatenate(
+        [jnp.zeros((cap,), jnp.int32), jnp.arange(m, dtype=jnp.int32)]
+    )
+    # merge 1: by (value, tag) — a code sorts before its equal queries
+    sv, st, sp = jax.lax.sort((val, tag, pay), num_keys=2)
+
+    idx = jnp.cumsum(1 - st) - 1  # last code position at/before each entry
+    # "this equal-value run starts with a code": propagate the code flag
+    # down runs with doubling shifts (runs are < max_run by contract)
+    f = (1 - st).astype(jnp.int32)
+    k = 1
+    while k < max_run:
+        same = jnp.concatenate(
+            [jnp.zeros((k,), bool), sv[k:] == sv[:-k]]
+        )
+        fk = jnp.concatenate([jnp.zeros((k,), jnp.int32), f[:-k]])
+        f = jnp.maximum(f, jnp.where(same, fk, 0))
+        k *= 2
+    enc = jnp.where(
+        (st == 1) & (f == 1), jnp.clip(idx, 0, cap), cap
+    ).astype(jnp.int32)
+
+    # merge 2: unsort by (tag, payload) — queries land at the tail in
+    # their original order
+    _, _, enc_u = jax.lax.sort((st, sp, enc), num_keys=2)
+    q_enc = enc_u[cap:]
+    found = (q_enc < num) & (queries != SENTINEL)
+    return jnp.where(found, q_enc, cap), found
+
+
 def build_kernel_map(grid: SparseGrid, kernel_size: int) -> jnp.ndarray:
     """(Nmax, K³) gather indices into grid.feats (misses -> capacity).
 
@@ -242,7 +288,7 @@ def build_kernel_map(grid: SparseGrid, kernel_size: int) -> jnp.ndarray:
     q = jnp.where(in_range, pack_coords(nbr.reshape(-1, 3)).reshape(nbr.shape[:2]),
                   SENTINEL)
     q = jnp.where(grid.valid[:, None], q, SENTINEL)
-    idx, _ = lookup(grid.codes, grid.num, q.reshape(-1))
+    idx, _ = lookup_merge(grid.codes, grid.num, q.reshape(-1))
     return idx.reshape(q.shape)  # (Nmax, K³)
 
 
@@ -516,7 +562,7 @@ def conv_up_generative(
         (fcoords[:, 0] & 1) * 4 + (fcoords[:, 1] & 1) * 2 + (fcoords[:, 2] & 1)
     ).astype(jnp.int32)
     q = jnp.where(fine_valid, pack_coords(parent), SENTINEL)
-    pidx, _ = lookup(coarse.codes, coarse.num, q)
+    pidx, _ = lookup_merge(coarse.codes, coarse.num, q, max_run=16)
     cfeats = (coarse.feats if compute_dtype is None
               else coarse.feats.astype(compute_dtype))
     w = weight if compute_dtype is None else weight.astype(compute_dtype)

@@ -83,3 +83,11 @@ def test_shard_batch_unknown_key_raises():
         assert "mystery" in str(e)
     out = shard_batch(batch, mesh, spec={"mystery": "view"})
     assert set(out) == {"coords", "mystery"}
+
+
+def test_distributed_initialize_single_process_noop():
+    from gpcr_tpu.parallel import distributed
+
+    assert distributed.initialize() is False  # single process: no-op
+    s = distributed.local_batch_slice(10)
+    assert s == slice(0, 10)

@@ -269,3 +269,25 @@ def test_conv_multi_blocked_matches_global():
     for r, g in zip(ref, got):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_lookup_merge_matches_lookup():
+    rng = np.random.RandomState(3)
+    grid = _rand_grid(1500, 1024, 2, seed=3)
+    # queries: kernel-map style (each value <= 27 occurrences) + misses +
+    # sentinels
+    kq = sparse.build_kernel_map(grid, 3)  # uses lookup_merge internally
+    coords = sparse.unpack_coords(grid.codes)
+    offs = np.asarray(sparse._offsets_cube(3))
+    nbr = np.asarray(coords)[:, None, :] + offs[None]
+    in_r = np.all((nbr >= 0) & (nbr < 1024), axis=-1)
+    q = np.where(
+        in_r & np.asarray(grid.valid)[:, None],
+        np.asarray(sparse.pack_coords(
+            jnp.asarray(nbr.reshape(-1, 3)))).reshape(nbr.shape[:2]),
+        sparse.SENTINEL,
+    ).reshape(-1)
+    i1, f1 = sparse.lookup(grid.codes, grid.num, jnp.asarray(q))
+    i2, f2 = sparse.lookup_merge(grid.codes, grid.num, jnp.asarray(q))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
