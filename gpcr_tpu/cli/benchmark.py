@@ -104,10 +104,26 @@ def _save_render_outputs(out, rpth, tag):
         save_pic(np.asarray(out["shaded"]), rpth + tag, type="shaded")
 
 
+def _raster_config(args):
+    """Inference raster config: the Pallas stream kernel with a
+    tiles-per-splat cap (overflow is counted; raise --dup_cap if a scene
+    warns)."""
+    from ..ops.rasterize import RasterizeConfig
+
+    return RasterizeConfig(
+        impl="stream", max_dup_per_gaussian=args.dup_cap,
+        max_active_tiles=args.max_active_tiles or None,
+    )
+
+
 def get_pcrender_renders(args):
     rdr = PCMLRender(
         args.ckpt, voxelized=args.voxelized, scale_factor=args.scale_factor,
         offset=args.offset,
+        # the reference always runs a warmup inference before its timed one
+        # (simple_raw_render.py:372-379); under XLA the first call compiles
+        warm_timing=True,
+        config=_raster_config(args),
     )
     camera, cam_info = _camera_for(args, "pcrender")
     input_offset = np.array(args.input_offset.split(","), dtype=np.float32)
@@ -147,7 +163,8 @@ def get_pcrender_renders(args):
 def get_simple_renders(args):
     rdr = SimpleRender(
         voxelized=args.voxelized, scale_factor=args.scale_factor,
-        offset=args.offset,
+        offset=args.offset, config=_raster_config(args),
+        warm_timing=True,
     )
     camera, cam_info = _camera_for(args, "simple")
     input_offset = np.array(args.input_offset.split(","), dtype=np.float32)
@@ -229,6 +246,10 @@ def build_parser():
     p.add_argument("--offset", type=int, default=512)
     p.add_argument("--cam_save_path", type=str, default="validate/res/cam/cam.npz")
     p.add_argument("--down_sample_ratio", type=float, default=1.0)
+    p.add_argument("--dup_cap", type=int, default=16,
+                   help="tiles-per-splat cap for the stream rasterizer")
+    p.add_argument("--max_active_tiles", type=int, default=0,
+                   help="grid budget on non-empty tiles (0 = all)")
     p.add_argument("--num_frames", type=int, default=12)
     p.add_argument("--use_t_indices", action="store_true")
     p.add_argument("--t_idx_pth", type=str, default="t_idx.npy")

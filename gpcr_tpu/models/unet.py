@@ -63,7 +63,8 @@ class InceptionResNet:
         cdt = self.compute_dtype
 
         def c3(p, g):
-            return sparse.conv(g, kmap, p["kernel"], p["bias"], compute_dtype=cdt)
+            return sparse.conv(g, kmap, p["kernel"], p["bias"],
+                               compute_dtype=cdt)
 
         def c1(p, feats, valid):
             if cdt is not None:
@@ -157,12 +158,17 @@ class SparseUNet:
             downs.append((parent_slot, octant))
             grids.append(pgrid)
             g = pgrid
+        # NOTE: the augmented z-packed 9-gather variant (sparse.conv9)
+        # measured 2x SLOWER than the blocked 27-gather conv at the L0
+        # shape (scripts/microbench_conv9.py: 148 vs 69 ms — the per-conv
+        # augment scatter, 3C-wide rows, and the 2.3x-bigger gather table
+        # eat the index savings), so the 27-offset kernel map stays.
         kmaps = [sparse.build_kernel_map(g, 3) for g in grids]
         return {"grids": grids, "downs": downs, "kmaps": kmaps,
                 "overflow": [g.num > g.capacity for g in grids],
-                # blocked-gather safety: every conv's window (default 16384)
-                # must cover the largest neighbor-index distance; hosts
-                # check this once per cloud (renderer.py does)
+                # blocked-gather safety: every conv's window (default
+                # 16384) must cover the largest neighbor-index distance;
+                # hosts check once per cloud (renderer.py does)
                 "max_delta": [sparse.kmap_max_delta(k) for k in kmaps]}
 
     # ---- forward (model_v2.py:202-226) --------------------------------------

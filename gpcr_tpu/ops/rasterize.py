@@ -462,14 +462,22 @@ def rasterize_gaussians(
         )
 
     if config.impl == "stream" and not config.differentiable:
-        from .rasterize_stream import rasterize_gaussians_stream
+        if jax.default_backend() == "cpu":
+            # the Mosaic kernel only compiles for TPU; CPU (tests, dev
+            # boxes) silently uses the exact XLA path — identical
+            # semantics, parity-tested in tests/test_stream.py
+            config = config._replace(impl="xla")
+        else:
+            from .rasterize_stream import rasterize_gaussians_stream
 
-        return rasterize_gaussians_stream(
-            means3d, opacities, settings,
-            scales=scales, rotations=rotations, cov3d_precomp=cov3d_precomp,
-            shs=shs, colors_precomp=colors_precomp, valid_mask=valid_mask,
-            config=config, return_extra=return_extra,
-        )
+            return rasterize_gaussians_stream(
+                means3d, opacities, settings,
+                scales=scales, rotations=rotations,
+                cov3d_precomp=cov3d_precomp,
+                shs=shs, colors_precomp=colors_precomp,
+                valid_mask=valid_mask,
+                config=config, return_extra=return_extra,
+            )
 
     H, W = settings.image_height, settings.image_width
     grid_x = -(-W // config.tile_x)

@@ -292,6 +292,198 @@ def build_kernel_map(grid: SparseGrid, kernel_size: int) -> jnp.ndarray:
     return idx.reshape(q.shape)  # (Nmax, K³)
 
 
+def build_kernel_map9(grid: SparseGrid):
+    """Augmented z-packed kernel map for k3s1 — 9 gathers instead of 27.
+
+    The lex-sorted code order makes (0, 0, ±1) neighbors row-adjacent, so a
+    27-tap conv can read z-triples [f(c-1), f(c), f(c+1)] from a 3C-wide
+    table with only the 9 (dx, dy) gathers. Plain z-packing has an orphan
+    hole (the (dx, dy, 0) voxel may be absent while (dx, dy, ±1) exist); the
+    fix is an AUGMENTED code set A = {c-1, c, c+1 : c occupied} — every
+    query with ANY occupied z-triple member lands on an A row, and occupied
+    z-neighbors of an A row are exactly its adjacent A rows (integers
+    between differ by 1).
+
+    Returns dict(acodes (capA,) sorted SENTINEL-padded, anum, aidx (capA,)
+    -> original row or cap (ghost), adjm/adjp (capA,) bool, kmapT9
+    (capA-index per (voxel, 9 offsets): (Nmax, 9) i32, capA = miss),
+    max_delta for the blocked-gather window check).
+    """
+    cap = grid.capacity
+    capA = 3 * cap
+    valid = grid.valid
+
+    # augmented code set (z +- 1 in-range; codes unique -> dedup by sort)
+    z = grid.codes & (GRID_MAX - 1)
+    cm = jnp.where(valid & (z > 0), grid.codes - 1, SENTINEL)
+    cp = jnp.where(valid & (z < GRID_MAX - 1), grid.codes + 1, SENTINEL)
+    c0 = jnp.where(valid, grid.codes, SENTINEL)
+    allc = jnp.sort(jnp.concatenate([cm, c0, cp]))
+    isnew = jnp.concatenate(
+        [jnp.ones((1,), bool), allc[1:] != allc[:-1]]
+    ) & (allc != SENTINEL)
+    # compact unique codes to the front (order-preserving via sort on key)
+    acodes = jnp.sort(jnp.where(isnew, allc, SENTINEL))
+    anum = jnp.sum(isnew).astype(jnp.int32)
+
+    # map A rows -> original rows (ghost rows miss); runs <= 3+1
+    aidx, _ = lookup_merge(grid.codes, grid.num, acodes, max_run=8)
+    # inverse: each occupied code's A row (strictly increasing over valid
+    # rows) — the feature expansion is a sorted-unique scatter with this
+    a_of_orig, _ = lookup_merge(acodes, anum, c0, max_run=4)
+
+    # occupied z-neighbors of an A row sit at the adjacent A rows
+    nxt = jnp.concatenate([acodes[1:], jnp.full((1,), SENTINEL, jnp.int32)])
+    prv = jnp.concatenate([jnp.full((1,), SENTINEL, jnp.int32), acodes[:-1]])
+    avalid = jnp.arange(capA) < anum
+    az = acodes & (GRID_MAX - 1)
+    adjp = (nxt == acodes + 1) & (az < GRID_MAX - 1) & avalid
+    adjm = (prv == acodes - 1) & (az > 0) & avalid
+
+    # 9 (dx, dy, 0) queries per voxel into A; a miss means the whole
+    # z-triple is unoccupied (correct zero contribution)
+    offs = _offsets_cube(3)  # (27, 3); dz == 0 block is offs[9 + j]
+    coords = unpack_coords(grid.codes)
+    own = jnp.arange(cap, dtype=jnp.int32)
+    kms = []
+    deltas = []
+    for j in range(9):
+        off = offs[9 + j]
+        nbr = coords + off[None, :]
+        in_range = jnp.all((nbr >= 0) & (nbr < GRID_MAX), axis=-1)
+        q = jnp.where(in_range & valid, pack_coords(nbr), SENTINEL)
+        idx, found = lookup_merge(acodes, anum, q, max_run=16)
+        kms.append(idx)
+        # window check: deviation of each query's A position from its OWN
+        # voxel's A position (the blocked gather centers block windows on
+        # a_of_orig, so only this local deviation must fit the window)
+        own_a = jnp.clip(a_of_orig, 0, capA - 1)
+        deltas.append(jnp.max(jnp.where(found, jnp.abs(idx - own_a), 0)))
+    kmap9 = jnp.stack(kms, axis=1)  # (Nmax, 9)
+    return {
+        "acodes": acodes,
+        "anum": anum,
+        "aidx": aidx,
+        "a_of_orig": a_of_orig,
+        "adjm": adjm,
+        "adjp": adjp,
+        "kmap9": kmap9,
+        "max_delta": jnp.max(jnp.stack(deltas)),
+    }
+
+
+def _augment_feats(feats: jnp.ndarray, km9: dict) -> jnp.ndarray:
+    """(cap, C) -> (capA, 3C) z-triple rows on the augmented code set.
+
+    Expansion is a sorted-unique scatter of the compact features into their
+    A positions (strictly increasing indices — XLA takes the fast scatter
+    path); the z-neighbor thirds are row shifts gated by the A adjacency
+    masks."""
+    cap, c = feats.shape
+    capA = km9["aidx"].shape[0]
+    g0 = jnp.zeros((capA + 1, c), feats.dtype).at[km9["a_of_orig"]].set(
+        feats, indices_are_sorted=True, unique_indices=True, mode="drop"
+    )[:capA]
+    zm = km9["adjm"][:, None].astype(feats.dtype)
+    zp = km9["adjp"][:, None].astype(feats.dtype)
+    down = jnp.concatenate(
+        [jnp.zeros((1, c), feats.dtype), g0[:-1]], axis=0
+    ) * zm
+    up = jnp.concatenate(
+        [g0[1:], jnp.zeros((1, c), feats.dtype)], axis=0
+    ) * zp
+    return jnp.concatenate([down, g0, up], axis=-1)
+
+
+def _w9(weight: jnp.ndarray) -> jnp.ndarray:
+    """(27, Cin, Cout) -> (9, 3*Cin, Cout): the dz = -1/0/+1 taps of each
+    (dx, dy) stacked along Cin, matching the _augment_feats row layout."""
+    kk = weight.shape[0]
+    assert kk == 27, kk
+    return jnp.stack(
+        [
+            jnp.concatenate(
+                [weight[j], weight[9 + j], weight[18 + j]], axis=0
+            )
+            for j in range(9)
+        ]
+    )
+
+
+def conv9(
+    grid: SparseGrid,
+    km9: dict,  # from build_kernel_map9
+    weight: jnp.ndarray,  # (27, Cin, Cout)
+    bias: T.Optional[jnp.ndarray] = None,
+    compute_dtype=None,
+    block: T.Optional[int] = 32_768,
+    window: int = 16_384,
+) -> jnp.ndarray:
+    """k3s1 sparse conv with 9 z-packed gathers (exact; see
+    build_kernel_map9). Equals ``conv`` up to f32 reassociation (the dz
+    triple sums inside one matmul)."""
+    return conv9_multi(
+        grid, km9, [grid.feats], [weight], [bias], compute_dtype,
+        block, window,
+    )[0]
+
+
+def conv9_multi(
+    grid: SparseGrid,
+    km9: dict,
+    feats_list: T.Sequence[jnp.ndarray],
+    weights: T.Sequence[jnp.ndarray],  # (27, C_i, Cout_i)
+    biases: T.Sequence[T.Optional[jnp.ndarray]],
+    compute_dtype=None,
+    block: T.Optional[int] = 32_768,
+    window: int = 16_384,
+) -> T.List[jnp.ndarray]:
+    """Several k3 convs sharing ONE set of 9 augmented z-packed gathers;
+    each consumer reads a contiguous 3C_i column slice of the shared row."""
+    ws = [w if compute_dtype is None else w.astype(compute_dtype)
+          for w in weights]
+    wides = []
+    col_slices = []
+    off = 0
+    for f in feats_list:
+        if compute_dtype is not None:
+            f = f.astype(compute_dtype)
+        wides.append(_augment_feats(f, km9))
+        col_slices.append((off, off + 3 * f.shape[1]))
+        off += 3 * f.shape[1]
+    wide = jnp.concatenate(wides, axis=-1)
+    wide = jnp.concatenate(
+        [wide, jnp.zeros((1, wide.shape[1]), wide.dtype)], axis=0
+    )
+    w9s = [_w9(w) for w in ws]
+
+    dot_fns = []
+    for w9, (lo, hi) in zip(w9s, col_slices):
+        def make(w9=w9, lo=lo, hi=hi):
+            def dot(g, i):
+                return jnp.dot(g[:, lo:hi], w9[i],
+                               preferred_element_type=jnp.float32)
+            return dot
+        dot_fns.append(make())
+
+    blk = block or grid.capacity
+    nb = -(-grid.capacity // blk)
+    block_lo = jnp.clip(
+        km9["a_of_orig"][jnp.arange(nb) * blk], 0,
+        km9["aidx"].shape[0] - 1,
+    )
+    outs = _gather_conv_blocked(
+        wide, km9["kmap9"], dot_fns, [w.shape[2] for w in ws],
+        blk, window, stride_num=3, block_lo=block_lo,
+    )
+    result = []
+    for j, out in enumerate(outs):
+        if biases[j] is not None:
+            out = out + biases[j]
+        result.append(out * grid.valid[:, None])
+    return result
+
+
 def kmap_max_delta(kmap: jnp.ndarray) -> jnp.ndarray:
     """Largest |gather index - own row| over kernel-map hits — the
     blocked-gather window must cover this (see ``conv``'s window path)."""
@@ -302,27 +494,37 @@ def kmap_max_delta(kmap: jnp.ndarray) -> jnp.ndarray:
 
 
 def _gather_conv_blocked(
-    feats_pad: jnp.ndarray,  # (cap + 1, C) zero sentinel at cap
-    kmap: jnp.ndarray,  # (cap, K)
+    feats_pad: jnp.ndarray,  # (table + 1, C) zero sentinel at row `table`
+    kmap: jnp.ndarray,  # (n_out, K) indices into [0, table], table = miss
     dot_fns: T.Sequence[T.Callable],  # g (rows, C), i -> (rows, Cout_j)
     couts: T.Sequence[int],
     block: int,
     window: int,
+    stride_num: int = 1,
+    stride_den: int = 1,
+    block_lo: T.Optional[jnp.ndarray] = None,
 ):
-    """Core of the blocked-window gather conv: voxels processed in blocks of
-    ``block`` rows, each gathering from a [b*block - window, +block+window)
-    slice of the table. Gather sources under ~130K rows run ~6x faster than
-    full-table gathers on this chip (the gather-rate cliff — measured in
+    """Core of the blocked-window gather conv: output rows processed in
+    blocks of ``block``, each gathering from a table slice around the
+    expected index position. Gather sources under ~130K rows run ~6x
+    faster than full-table gathers on this chip (the gather-rate cliff —
     scripts/microbench_cliff.py: 89M vs 508M rows/s at the L0 shape), and
-    sorted voxel codes make neighbor indices local, so a 16K window covers
-    them with ~8x margin (callers check kmap_max_delta <= window).
+    sorted voxel codes make neighbor indices local, so a modest window
+    covers them (callers check the kmap's max deviation against
+    ``window``).
+
+    The slice for block b starts at ``block_lo[b] - window`` when given
+    (callers with a non-uniform output->table density, e.g. the augmented
+    z-packed table, precompute exact block starts at plan time), else at
+    ``b * block * stride_num / stride_den - window``; its length is
+    ``block * stride_num / stride_den + 2 * window`` rows.
 
     Out-of-window hits are clamped (callers must validate the window);
-    misses (index == cap) read the per-window zero sentinel row.
+    misses (index == table) read the per-window zero sentinel row.
     """
     capp, c = feats_pad.shape
-    cap = capp - 1
-    kk = kmap.shape[1]
+    table = capp - 1
+    n_out, kk = kmap.shape
 
     def accumulate(rows_of, km_rows, nrows):
         accs = tuple(jnp.zeros((nrows, co), jnp.float32) for co in couts)
@@ -335,21 +537,26 @@ def _gather_conv_blocked(
 
         return jax.lax.fori_loop(0, kk, body, accs)
 
-    if cap <= block + 2 * window:
+    win_rows = block * stride_num // stride_den + 2 * window
+    if table <= win_rows or block >= n_out:
         def rows(km, i):
             return feats_pad[km[:, i]]
 
-        return accumulate(rows, kmap, cap)
+        return accumulate(rows, kmap, n_out)
 
-    nb = -(-cap // block)
+    nb = -(-n_out // block)
     npad = nb * block
     km_pad = jnp.pad(
-        kmap, ((0, npad - cap), (0, 0)), constant_values=cap
+        kmap, ((0, npad - n_out), (0, 0)), constant_values=table
     )
-    win_rows = block + 2 * window
 
     def one_block(b, outs):
-        lo = jnp.clip(b * block - window, 0, capp - win_rows)
+        base = (
+            block_lo[jnp.minimum(b, block_lo.shape[0] - 1)]
+            if block_lo is not None
+            else b * block * stride_num // stride_den
+        )
+        lo = jnp.clip(base - window, 0, capp - win_rows)
         win = jax.lax.dynamic_slice(feats_pad, (lo, 0), (win_rows, c))
         win = jnp.concatenate(
             [win, jnp.zeros((1, c), feats_pad.dtype)], axis=0
@@ -359,7 +566,8 @@ def _gather_conv_blocked(
         def rows(km, i):
             gidx = km[:, i]
             local = jnp.where(
-                gidx >= cap, win_rows, jnp.clip(gidx - lo, 0, win_rows - 1)
+                gidx >= table, win_rows,
+                jnp.clip(gidx - lo, 0, win_rows - 1),
             )
             return win[local]
 
@@ -373,7 +581,7 @@ def _gather_conv_blocked(
         0, nb, one_block,
         tuple(jnp.zeros((npad, co), jnp.float32) for co in couts),
     )
-    return tuple(o[:cap] for o in outs)
+    return tuple(o[:n_out] for o in outs)
 
 
 # --------------------------------------------------------------------------

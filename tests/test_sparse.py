@@ -291,3 +291,55 @@ def test_lookup_merge_matches_lookup():
     i2, f2 = sparse.lookup_merge(grid.codes, grid.num, jnp.asarray(q))
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+
+
+def test_conv9_augmented_matches_conv():
+    """9-gather augmented z-packed conv == 27-gather conv, including the
+    orphan cases (center voxel absent, z+-1 present) that break naive
+    z-packing."""
+    rng = np.random.RandomState(4)
+    grid = _rand_grid(3000, 2048, 8, seed=4)
+    kmap = sparse.build_kernel_map(grid, 3)
+    km9 = sparse.build_kernel_map9(grid)
+    w = jnp.asarray(rng.rand(27, 8, 16).astype(np.float32) - 0.5)
+    b = jnp.asarray(rng.rand(16).astype(np.float32))
+
+    ref = sparse.conv(grid, kmap, w, b, block=None)
+    got = sparse.conv9(grid, km9, w, b, block=None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    # blocked path with a window covering max_delta
+    md = int(km9["max_delta"])
+    got_b = sparse.conv9(grid, km9, w, b, block=256, window=max(md, 64))
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    # per-offset check catches any dz misrouting (each offset in isolation)
+    for o in (0, 7, 13, 19, 26):
+        w1 = np.zeros((27, 8, 1), np.float32)
+        w1[o, :, 0] = np.linspace(0.5, 2.0, 8)
+        r1 = sparse.conv(grid, kmap, jnp.asarray(w1), block=None)
+        g1 = sparse.conv9(grid, km9, jnp.asarray(w1), block=None)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(r1),
+                                   rtol=1e-5, atol=1e-6, err_msg=str(o))
+
+
+def test_conv9_multi_augmented_matches_conv_multi():
+    rng = np.random.RandomState(5)
+    grid = _rand_grid(2500, 2048, 8, seed=5)
+    kmap = sparse.build_kernel_map(grid, 3)
+    km9 = sparse.build_kernel_map9(grid)
+    f2 = jnp.asarray(rng.rand(grid.capacity, 4).astype(np.float32))
+    f2 = f2 * np.asarray(grid.valid)[:, None]
+    w1 = jnp.asarray(rng.rand(27, 8, 8).astype(np.float32) - 0.5)
+    w2 = jnp.asarray(rng.rand(27, 4, 12).astype(np.float32) - 0.5)
+    b2 = jnp.asarray(rng.rand(12).astype(np.float32))
+
+    ref = sparse.conv_multi(grid, kmap, [grid.feats, f2], [w1, w2],
+                            [None, b2], block=None)
+    got = sparse.conv9_multi(grid, km9, [grid.feats, f2], [w1, w2],
+                             [None, b2], block=None)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-5, atol=1e-5)
