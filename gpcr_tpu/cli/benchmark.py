@@ -113,6 +113,7 @@ def _raster_config(args):
     return RasterizeConfig(
         impl="stream", max_dup_per_gaussian=args.dup_cap,
         max_active_tiles=args.max_active_tiles or None,
+        k_budget=args.k_budget or None,
     )
 
 
@@ -248,6 +249,9 @@ def build_parser():
     p.add_argument("--down_sample_ratio", type=float, default=1.0)
     p.add_argument("--dup_cap", type=int, default=16,
                    help="tiles-per-splat cap for the stream rasterizer")
+    p.add_argument("--k_budget", type=int, default=6_000_000,
+                   help="sorted-entry stream budget (0 = unbounded); "
+                        "dropped entries are warned after the render")
     p.add_argument("--max_active_tiles", type=int, default=0,
                    help="grid budget on non-empty tiles (0 = all)")
     p.add_argument("--num_frames", type=int, default=12)

@@ -193,12 +193,13 @@ def _render_one_view(
             valid_mask=valid, config=config,
         )
     else:
-        color, radii = R.rasterize_gaussians(
+        color, radii, extra = R.rasterize_gaussians(
             means3d, opacity, settings,
             scales=scales, rotations=rotations, colors_precomp=features,
-            valid_mask=valid, config=config,
+            valid_mask=valid, config=config, return_extra=True,
         )
-    return color  # (C, H_ss, W_ss)
+        return color, extra["dup_overflow"]
+    return color, jnp.int32(0)  # (C, H_ss, W_ss), overflow
 
 
 @functools.partial(
@@ -241,9 +242,12 @@ def render_views_fused(
     if view_ts.shape[0] == 1:
         # single view: skip lax.map — its scan body serializes the binning
         # scatters (measured 2.5x slower than the direct graph)
-        colors = one((view_ts[0], full_ts[0], camposes[0]))[None]
+        colors, overflow = one((view_ts[0], full_ts[0], camposes[0]))
+        colors = colors[None]
+        overflow = overflow[None]
     else:
-        colors = jax.lax.map(one, (view_ts, full_ts, camposes))  # (q, C, H, W)
+        colors, overflow = jax.lax.map(
+            one, (view_ts, full_ts, camposes))  # (q, C, H, W), (q,)
     colors = bilinear_resize(colors, out_h, out_w)
     out = {
         "rgb": colors[:, 0:3].transpose(0, 2, 3, 1),
@@ -253,6 +257,10 @@ def render_views_fused(
     out["normal"] = (
         colors[:, 9:12].transpose(0, 2, 3, 1) if with_normal else None
     )
+    # duplication-cap / k_budget overflow per view: non-zero means dropped
+    # splat-tile entries (raise dup cap / k_budget); callers warn AFTER the
+    # timed region so the check costs no sync
+    out["dup_overflow"] = overflow
     return out
 
 
@@ -399,6 +407,10 @@ class SimpleRender:
         if timing is not None:
             timing.update(model_time=model_time, rgb_time=rgb_time)
 
+        ovf = int(np.asarray(out.pop("dup_overflow")).sum())
+        if ovf:
+            print(f"[Warn] rasterizer dropped {ovf} splat-tile entries "
+                  f"(raise the dup cap / k_budget)", flush=True)
         ret = {k: (v[None] if v is not None else None) for k, v in out.items()}
         if point_light is not None and ret["normal"] is not None:
             ret["shaded"] = apply_point_light(
@@ -609,6 +621,10 @@ class PCMLRender:
         if timing is not None:
             timing.update(model_time=model_time, rgb_time=rgb_time)
 
+        ovf = int(np.asarray(out.pop("dup_overflow")).sum())
+        if ovf:
+            print(f"[Warn] rasterizer dropped {ovf} splat-tile entries "
+                  f"(raise the dup cap / k_budget)", flush=True)
         ret = {k: (v[None] if v is not None else None) for k, v in out.items()}
         if point_light is not None and ret["normal"] is not None:
             ret["shaded"] = apply_point_light(

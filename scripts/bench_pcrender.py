@@ -26,8 +26,10 @@ def main():
     from gpcr_tpu.models.encoder import PCEncoder, PCMLInfo
     from gpcr_tpu.render import checkpoint as CK
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 800_000
-    sf = int(sys.argv[2]) if len(sys.argv) > 2 else 448
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    extra = [a for a in sys.argv[1:] if a.startswith("--")]
+    n = int(argv[0]) if len(argv) > 0 else 800_000
+    sf = int(argv[1]) if len(argv) > 1 else 448
 
     root = tempfile.mkdtemp(prefix="pcrender_bench_")
     info_dict = {
@@ -67,13 +69,13 @@ def main():
         "--rpth", os.path.join(root, "out") + "/",
         "--skip_mesh", "--voxelized",
         "--scale_factor", str(sf), "--fov", "45",
-    ]
+    ] + extra
     print("running:", " ".join(cmd), flush=True)
     r = subprocess.run(cmd, capture_output=True, text=True, timeout=3600,
                        cwd=os.path.dirname(os.path.dirname(
                            os.path.abspath(__file__))))
     for line in r.stdout.splitlines():
-        if "time" in line or "Info" in line:
+        if "time" in line or "Info" in line or "Warn" in line:
             print(line)
     if r.returncode != 0:
         print(r.stderr[-3000:])
