@@ -100,14 +100,16 @@ class SplatParams(T.NamedTuple):
 class PCEncoder:
     """(model_v2.py:238-375)"""
 
-    def __init__(self, info: T.Union[dict, PCMLInfo], compute_dtype=None):
+    def __init__(self, info: T.Union[dict, PCMLInfo], compute_dtype=None,
+                 conv_block: T.Optional[int] = sparse.GATHER_BLOCK):
         self.info = info if isinstance(info, PCMLInfo) else PCMLInfo.from_dict(info)
         if self.info.model_type != "unet":
             raise NotImplementedError(
                 f"Model type {self.info.model_type} not implemented!"
             )
         self.unet = SparseUNet(self.info.channels, self.info.feat_dim,
-                               compute_dtype=compute_dtype)
+                               compute_dtype=compute_dtype,
+                               conv_block=conv_block)
 
     def init(self, key):
         return {"color_encoder": self.unet.init(key)}

@@ -44,9 +44,11 @@ class InceptionResNet:
     """Two-branch sparse residual block (model_v2.py:15-65):
     (3³→3³: ch→ch/4→ch/2) ∥ (1³→3³→1³: ch→ch/4→ch/4→ch/2), concat + skip."""
 
-    def __init__(self, channels: int, compute_dtype=None):
+    def __init__(self, channels: int, compute_dtype=None,
+                 conv_block: T.Optional[int] = sparse.GATHER_BLOCK):
         self.ch = channels
         self.compute_dtype = compute_dtype
+        self.conv_block = conv_block
 
     def init(self, key):
         ks = jax.random.split(key, 5)
@@ -64,7 +66,7 @@ class InceptionResNet:
 
         def c3(p, g):
             return sparse.conv(g, kmap, p["kernel"], p["bias"],
-                               compute_dtype=cdt)
+                               compute_dtype=cdt, block=self.conv_block)
 
         def c1(p, feats, valid):
             if cdt is not None:
@@ -85,7 +87,7 @@ class InceptionResNet:
             grid, kmap, [x, h1],
             [params["conv0_0"]["kernel"], params["conv1_1"]["kernel"]],
             [params["conv0_0"]["bias"], params["conv1_1"]["bias"]],
-            compute_dtype=cdt,
+            compute_dtype=cdt, block=self.conv_block,
         )
         out0 = c3(params["conv0_1"], grid.replace(feats=_relu(o00)))
         out1 = c1(params["conv1_2"], _relu(o11), grid.valid)
@@ -97,11 +99,17 @@ class SparseUNet:
 
     def __init__(self, channels: T.Sequence[int] = (1, 16, 32, 64, 32, 8),
                  feat_dim: int = 32, block_layers: int = 3,
-                 compute_dtype=None):
+                 compute_dtype=None,
+                 conv_block: T.Optional[int] = sparse.GATHER_BLOCK):
         self.channels = list(channels)
         self.feat_dim = feat_dim
         self.block_layers = block_layers
         self.compute_dtype = compute_dtype
+        # blocked-gather window size for every k3s1 conv; None = global
+        # gathers (exact for any coordinate distribution — trainers whose
+        # plans are built inside jit and therefore can't host-check
+        # plan['max_delta'] <= sparse.GATHER_WINDOW should use None)
+        self.conv_block = conv_block
 
     # ---- params -----------------------------------------------------------
 
@@ -180,7 +188,7 @@ class SparseUNet:
 
         def conv3x(p, g, kmap):
             return sparse.conv(g, kmap, p["kernel"], p["bias"],
-                               compute_dtype=cdt)
+                               compute_dtype=cdt, block=self.conv_block)
 
         def down(p, g, lvl):
             parent_slot, octant = downs[lvl]
@@ -200,7 +208,7 @@ class SparseUNet:
             # identical-shape blocks run under one lax.scan with stacked
             # params: traces ONE block instead of block_layers of them
             # (the unrolled version costs minutes of XLA compile at 800K)
-            block = InceptionResNet(g.feats.shape[1], cdt)
+            block = InceptionResNet(g.feats.shape[1], cdt, self.conv_block)
             stacked = jax.tree_util.tree_map(
                 lambda *xs: jnp.stack(xs),
                 *[bparams[str(i)] for i in range(self.block_layers)],

@@ -43,6 +43,18 @@ GRID_BITS = 10  # coordinates < 1024 per axis
 GRID_MAX = 1 << GRID_BITS
 SENTINEL = jnp.iinfo(jnp.int32).max  # sorts to the end
 
+# Blocked-window gather defaults (see _gather_conv_blocked). GATHER_WINDOW
+# is the correctness contract shared with every caller's safety check
+# (renderer/trainer verify plan['max_delta'] <= GATHER_WINDOW); keep the
+# conv defaults and those checks pointing at this single constant.
+GATHER_BLOCK = 65_536
+GATHER_WINDOW = 16_384
+
+# opt-in runtime invariant checks (host-callback asserts inside jit)
+import os as _os
+
+_DEBUG_CHECKS = bool(_os.environ.get("GPCR_DEBUG_CHECKS", ""))
+
 
 def plan_capacities(
     coords_np, levels: int = 4, margin: float = 1.05, bucket: int = 65536,
@@ -225,6 +237,27 @@ def lookup(codes_sorted: jnp.ndarray, num: jnp.ndarray, queries: jnp.ndarray):
     return jnp.where(found, pos_c, cap), found
 
 
+def _check_merge_runs(sv, st, max_run):
+    """Debug guard for lookup_merge's precondition (enable with
+    GPCR_DEBUG_CHECKS=1): every equal-value run in the merged
+    (codes + queries) stream must fit in ``max_run`` — i.e. every query
+    VALUE occurs fewer than max_run times (codes are unique, so a run can
+    be at most 1 code + (max_run - 1) queries). A violation would
+    otherwise yield silent false misses."""
+    nonsent = sv[max_run:] != SENTINEL
+    bad = jnp.any((sv[max_run:] == sv[:-max_run]) & nonsent)
+
+    def _raise(bad_val):
+        if bool(bad_val):
+            raise RuntimeError(
+                f"lookup_merge: an equal-value run exceeds max_run="
+                f"{max_run}; results would contain silent false misses. "
+                f"Raise max_run (must exceed the query-value multiplicity)."
+            )
+
+    jax.debug.callback(_raise, bad)
+
+
 def lookup_merge(
     codes_sorted: jnp.ndarray, num: jnp.ndarray, queries: jnp.ndarray,
     max_run: int = 64,
@@ -250,6 +283,8 @@ def lookup_merge(
     )
     # merge 1: by (value, tag) — a code sorts before its equal queries
     sv, st, sp = jax.lax.sort((val, tag, pay), num_keys=2)
+    if _DEBUG_CHECKS:
+        _check_merge_runs(sv, st, max_run)
 
     idx = jnp.cumsum(1 - st) - 1  # last code position at/before each entry
     # "this equal-value run starts with a code": propagate the code flag
@@ -417,7 +452,7 @@ def conv9(
     bias: T.Optional[jnp.ndarray] = None,
     compute_dtype=None,
     block: T.Optional[int] = 32_768,
-    window: int = 16_384,
+    window: int = GATHER_WINDOW,
 ) -> jnp.ndarray:
     """k3s1 sparse conv with 9 z-packed gathers (exact; see
     build_kernel_map9). Equals ``conv`` up to f32 reassociation (the dz
@@ -436,7 +471,7 @@ def conv9_multi(
     biases: T.Sequence[T.Optional[jnp.ndarray]],
     compute_dtype=None,
     block: T.Optional[int] = 32_768,
-    window: int = 16_384,
+    window: int = GATHER_WINDOW,
 ) -> T.List[jnp.ndarray]:
     """Several k3 convs sharing ONE set of 9 augmented z-packed gathers;
     each consumer reads a contiguous 3C_i column slice of the shared row."""
@@ -595,8 +630,8 @@ def conv(
     weight: jnp.ndarray,  # (K³, Cin, Cout)
     bias: T.Optional[jnp.ndarray] = None,  # (Cout,)
     compute_dtype=None,
-    block: T.Optional[int] = 65_536,
-    window: int = 16_384,
+    block: T.Optional[int] = GATHER_BLOCK,
+    window: int = GATHER_WINDOW,
 ) -> jnp.ndarray:
     """Stride-1 sparse conv on a fixed coordinate set. Returns (Nmax, Cout)
     float32.
@@ -633,8 +668,8 @@ def conv_multi(
     weights: T.Sequence[jnp.ndarray],  # (K³, C_i, Cout_i) per input
     biases: T.Sequence[T.Optional[jnp.ndarray]],
     compute_dtype=None,
-    block: T.Optional[int] = 65_536,
-    window: int = 16_384,
+    block: T.Optional[int] = GATHER_BLOCK,
+    window: int = GATHER_WINDOW,
 ) -> T.List[jnp.ndarray]:
     """Several stride-1 convs over the SAME kernel map with ONE gather per
     offset: the inputs are channel-concatenated so the (index-throughput-

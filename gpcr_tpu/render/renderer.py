@@ -500,8 +500,14 @@ class PCMLRender:
         feats = assemble_input_features(self.info, coords, rgb, self.offset)
 
         off_np = np.asarray(in_off).reshape(3)
-        geom_key = (id(pcd), tuple(np.round(off_np, 6)))
+        # key on the offset only and verify cloud identity with a STRONG
+        # reference (`is`): an id(pcd) key can collide after GC reuses the
+        # address of a freed temporary (e.g. the batched path's pcd[ib]
+        # slices), silently reusing another cloud's caps/plan
+        geom_key = tuple(np.round(off_np, 6))
         cached = self._geom_cache.get(geom_key)
+        if cached is not None and cached[0] is not pcd:
+            cached = None
         if cached is None:
             # host-side capacity planning bounds every level's static
             # shapes; work on the host copy of the coordinates (pulling a
@@ -517,26 +523,27 @@ class PCMLRender:
                 self._plan_jits[caps] = jax.jit(functools.partial(
                     self.model.build_plan, level_capacity=caps))
         else:
-            caps, _ = cached
+            _, caps, _ = cached
         if caps[0] not in self._quant_jits:
             self._quant_jits[caps[0]] = jax.jit(functools.partial(
                 sparse.quantize_average, capacity=caps[0]))
         grid = self._quant_jits[caps[0]](coords, feats, valid=valid)
         if cached is None:
             plan = self._plan_jits[caps](grid)
-            self._geom_cache = {geom_key: (caps, plan)}  # keep one cloud
+            # keep one cloud; storing pcd pins its id for the `is` check
+            self._geom_cache = {geom_key: (pcd, caps, plan)}
         else:
-            _, plan = cached
+            _, _, plan = cached
         # blocked-gather window check (one host sync per cloud): surface
-        # clouds have neighbor-index distances far below the 16K default
+        # clouds have neighbor-index distances far below the default
         # window; a pathological coordinate distribution must use the
         # global gather path instead of silently clamping
         md = max(int(d) for d in plan["max_delta"])
-        if md > 16_384:
+        if md > sparse.GATHER_WINDOW:
             raise ValueError(
                 f"kernel-map neighbor deviation {md} exceeds the blocked-"
-                f"gather window (16384); pass block=None through "
-                f"SparseUNet's convs for this cloud"
+                f"gather window ({sparse.GATHER_WINDOW}); pass "
+                f"conv_block=None to PCEncoder for this cloud"
             )
         return self._apply_jit(self.params, grid, plan), grid, plan
 

@@ -54,9 +54,16 @@ class Trainer:
         raster_config: T.Optional[R.RasterizeConfig] = None,
         optimizer: T.Optional[optax.GradientTransformation] = None,
         offset: int = 512,
+        model: T.Optional[PCEncoder] = None,
     ):
         self.info = info if isinstance(info, PCMLInfo) else PCMLInfo.from_dict(info)
-        self.model = PCEncoder(self.info)
+        # conv_block=None: the trainer builds its plan INSIDE the jitted
+        # loss, so the host-side plan['max_delta'] <= sparse.GATHER_WINDOW
+        # check the renderer performs is impossible here; global gathers
+        # are exact for any coordinate distribution (dense/volumetric
+        # training clouds included) at the cost of the blocked-gather
+        # speedup. Pass a PCEncoder via `model` to override.
+        self.model = model or PCEncoder(self.info, conv_block=None)
         self.render_hw = render_hw
         self.ss = super_sample_rate
         self.weights = weights
@@ -93,7 +100,7 @@ class Trainer:
         bg3 = jnp.zeros((3,))
 
         def render_view(vt, ft, cp):
-            color = _render_one_view(
+            color, _overflow = _render_one_view(
                 vt, ft, cp, means, scales, sp.rotation, opacity, sp.sh,
                 normal, sp.valid, bg3, tanfov, h * self.ss, w * self.ss,
                 info.sh_deg, self.config, with_normal,

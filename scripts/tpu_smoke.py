@@ -19,6 +19,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def subprocess_env(platform: str) -> dict:
+    """Env for a subprocess pinned to `platform`.
+
+    Under the pytest conftest the parent process forces JAX_PLATFORMS=cpu +
+    a virtual 8-device CPU mesh; a TPU subprocess must strip both (the axon
+    plugin ignores JAX_PLATFORMS, but the host-device-count flag would
+    still fork virtual CPU devices)."""
+    env = dict(os.environ)
+    if platform == "cpu":
+        env["JAX_PLATFORMS"] = "cpu"
+    else:
+        env.pop("JAX_PLATFORMS", None)
+        flags = env.get("XLA_FLAGS", "")
+        env["XLA_FLAGS"] = " ".join(
+            f for f in flags.split()
+            if "host_platform_device_count" not in f
+        )
+    return env
+
+
 def render_small(platform: str, use_stream: bool):
     """Render in a subprocess pinned to `platform`; returns (rgb, ms)."""
     code = f"""
@@ -73,7 +93,7 @@ np.save("/tmp/smoke_{platform}_{int(use_stream)}.npy", np.asarray(out))
 print(json.dumps(dict(ms=ms, platform=str(jax.devices()[0]))))
 """
     r = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                       text=True, timeout=900)
+                       text=True, timeout=900, env=subprocess_env(platform))
     if r.returncode != 0:
         raise RuntimeError(f"{platform} render failed:\n{r.stderr[-2000:]}")
     import json

@@ -21,3 +21,18 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def pytest_collection_modifyitems(config, items):
+    """Run `tpu`-marked tests only when explicitly selected (`-m tpu`):
+    they probe/drive the real device via subprocesses and would otherwise
+    add minutes of hardware time to every CPU suite run."""
+    import pytest as _pytest
+
+    markexpr = config.getoption("-m", default="") or ""
+    if "tpu" in markexpr:
+        return
+    skip = _pytest.mark.skip(reason="real-TPU test; run with -m tpu")
+    for item in items:
+        if "tpu" in item.keywords:
+            item.add_marker(skip)

@@ -1,8 +1,10 @@
 """Sharded training step + graft entry points on the 8-device CPU mesh."""
 
+import pytest
 import numpy as np
 
 
+@pytest.mark.smoke
 def test_entry_compiles_and_runs():
     import jax
 
@@ -20,6 +22,7 @@ def test_dryrun_multichip_8():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.smoke
 def test_dryrun_multichip_2():
     import __graft_entry__ as ge
 

@@ -50,6 +50,7 @@ def random_scene(n, seed=0, spread=0.6, scale=0.08):
 
 
 @pytest.mark.parametrize("n,wh", [(40, 48), (120, 64)])
+@pytest.mark.smoke
 def test_matches_oracle(n, wh):
     W = H = wh
     means, scales, rots, ops, feats = random_scene(n, seed=n)

@@ -1,5 +1,6 @@
 """Sparse voxel conv engine vs dense numpy oracles."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -50,6 +51,7 @@ def test_quantize_average_dedups_and_averages():
     assert np.all(np.diff(np.asarray(g.codes).astype(np.int64)) >= 0)
 
 
+@pytest.mark.smoke
 def test_conv3_matches_dense():
     g, _, _ = make_grid(n=80, cin=4, seed=1)
     kmap = sparse.build_kernel_map(g, 3)
@@ -237,6 +239,7 @@ def _rand_grid(n_pts, cap, cin, seed=0):
         jnp.asarray(coords), jnp.asarray(feats), capacity=cap)
 
 
+@pytest.mark.smoke
 def test_conv_blocked_matches_global():
     """The blocked-window gather path == the global path (exact)."""
     rng = np.random.RandomState(1)

@@ -1,0 +1,89 @@
+"""Real-TPU kernel tests (`pytest -m tpu`): validate the Mosaic lowering,
+cross-platform numeric drift, and the timing barrier on actual hardware.
+
+The suite conftest forces a virtual CPU mesh in-process, so every device
+run here happens in a subprocess with a sanitized env
+(scripts.tpu_smoke.subprocess_env). Off-TPU (or when the marker is not
+selected) these skip; `python -m pytest -m tpu -q` is the one-command
+hardware gate.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "scripts")
+)
+
+import tpu_smoke  # noqa: E402
+
+pytestmark = pytest.mark.tpu
+
+_HAVE_TPU = None
+
+
+def _have_tpu() -> bool:
+    """Probe for a real TPU in a clean subprocess (cached per session)."""
+    global _HAVE_TPU
+    if _HAVE_TPU is None:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].platform)"],
+                env=tpu_smoke.subprocess_env("tpu"),
+                capture_output=True, text=True, timeout=300,
+            )
+            _HAVE_TPU = r.returncode == 0 and "tpu" in r.stdout.lower()
+        except Exception:
+            _HAVE_TPU = False
+    return _HAVE_TPU
+
+
+@pytest.fixture(scope="module")
+def tpu_or_skip():
+    if not _have_tpu():
+        pytest.skip("no real TPU device available")
+
+
+@pytest.fixture(scope="module")
+def cpu_ref(tpu_or_skip):
+    rgb, _ = tpu_smoke.render_small("cpu", use_stream=False)
+    return rgb
+
+
+# Cross-platform f32 tolerance: preprocess agrees to ~1.5e-5, but exp()
+# differs at ~1 ulp between the TPU VPU and CPU libm and compounds through
+# tens of composited alpha factors — measured drift ~5e-4, invisible at
+# uint8 and worth ~66 dB, far inside the 0.05 dB parity budget.
+TOL = 2e-3
+
+
+def test_xla_path_parity_and_sync(tpu_or_skip, cpu_ref):
+    tpu_xla, meta = tpu_smoke.render_small("tpu", use_stream=False)
+    assert "TPU" in meta["platform"], f"not on TPU: {meta['platform']}"
+    err = float(np.abs(cpu_ref - tpu_xla).max())
+    assert err < TOL, err
+    u8 = np.abs(
+        np.clip(cpu_ref * 255, 0, 255).round()
+        - np.clip(tpu_xla * 255, 0, 255).round()
+    )
+    assert u8.max() <= 1 and (u8 > 0).mean() < 0.01, (
+        int(u8.max()), float((u8 > 0).mean())
+    )
+    # the sync must be a real barrier: a timed warm render of this scene
+    # costs milliseconds; dispatch-only would read ~0
+    assert meta["ms"] > 1.0, f"sync did not block ({meta['ms']} ms)"
+
+
+def test_stream_kernel_parity(tpu_or_skip, cpu_ref):
+    """The Pallas (Mosaic) stream rasterizer must match the CPU XLA path
+    on real hardware — interpret-mode tests can't catch lowering bugs."""
+    tpu_stream, meta = tpu_smoke.render_small("tpu", use_stream=True)
+    assert "TPU" in meta["platform"], f"not on TPU: {meta['platform']}"
+    err = float(np.abs(cpu_ref - tpu_stream).max())
+    assert err < TOL, err
