@@ -179,6 +179,21 @@ def get_simple_renders(args):
             pcd = PointCloud.from_ply(tm20 + "pcd_0.ply")
             if args.down_sample_ratio != 1.0:
                 pcd = pcd.voxel_downsampling(cell_width=2.0)
+            if pcd.normal_w is None:
+                # the reference estimates normals for the simple task
+                # (simple_benchmark.py:263-277: kNN avg-distance probe +
+                # o3d estimate_normals); the PCA equivalent lives in
+                # structures/reconstruct.py
+                xyz = np.asarray(pcd.xyz_w[0])
+                probe = xyz[:: max(1, len(xyz) // 2000)]
+                nn = np.full(len(probe), np.inf)
+                for s in range(0, len(xyz), 65536):  # NN dist vs ALL points
+                    blk = xyz[s:s + 65536]
+                    d2 = ((probe[:, None, :] - blk[None, :, :]) ** 2).sum(-1)
+                    d2[d2 == 0] = np.inf  # self-match
+                    nn = np.minimum(nn, d2.min(1))
+                print("[Info] avg_dist:", float(np.sqrt(nn).mean()))
+                pcd = pcd.estimate_normals()
             if not args.skip_mesh:
                 _save_mesh_gt(args, id, camera, rpth)
             out = rdr.render(

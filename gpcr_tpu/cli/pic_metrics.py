@@ -87,8 +87,15 @@ def lpips_dirs(p1: str, p2: str, strict_parity: bool = True,
 
     wp = weights_path or DEFAULT_WEIGHTS
     if not lpips_available(wp):
-        print(f"LPIPS between {p1} and {p2}: unavailable "
-              f"(no weights at {wp}; see metrics/lpips.py)")
+        print(
+            f"[Warn] LPIPS SKIPPED (no weights at {wp}).\n"
+            f"       Pretrained AlexNet-LPIPS weights cannot be bundled; "
+            f"convert the official lpips checkpoint once with:\n"
+            f"         python -m gpcr_tpu.cli.convert_lpips "
+            f"/path/to/lpips_alex.pth\n"
+            f"       (any `lpips.LPIPS(net='alex')` state-dict .pth works; "
+            f"reads it torch-free)"
+        )
         return None
     model = LPIPS.load(wp)
     total, n = 0.0, 0

@@ -296,32 +296,8 @@ class Mesh:
         hit = np.isfinite(t)
         prim_safe = np.where(hit, prim, 0)
         bary = np.stack([1 - u - v, u, v], axis=-1)  # (R, 3)
-
-        # rgb via texture uv interp (plib/render.py:96-180) or white
-        if self.triangle_uvs is not None and self.textures:
-            vert_uv = self.triangle_uvs[prim_safe]  # (R, 3, 2)
-            uvq = np.sum(bary[..., None] * vert_uv, axis=-2)  # (R, 2)
-            mats = self.material_ids[prim_safe]
-            rgb = np.zeros((len(t), 3), np.float32)
-            for mid, tex in enumerate(self.textures):
-                sel = mats == mid
-                if sel.any():
-                    rgb[sel] = sample_texture(tex, uvq[sel])
-            rgb *= hit[:, None]
-        else:
-            rgb = np.ones((len(t), 3), np.float32)
-
-        # vertex-normal interpolation (plib/render.py:183-223)
-        vn = self.vertex_normals[self.triangles[prim_safe]]  # (R, 3, 3)
-        normals = np.sum(bary[..., None] * vn, axis=-2)
-        normals *= hit[:, None]
-        norm = np.linalg.norm(normals, axis=-1, keepdims=True)
-        normals = np.divide(normals, norm, out=np.zeros_like(normals),
-                            where=norm != 0)
-        # flip toward ray origin (structures.py:3777-3780)
-        dirs_flat = d.reshape(-1, 3)
-        normals = normals * (
-            -1 * np.sign(np.sum(normals * dirs_flat, axis=-1, keepdims=True))
+        rgb, normals = self._interp_attributes(
+            prim_safe, bary, hit, d.reshape(-1, 3)
         )
 
         return {
@@ -331,9 +307,180 @@ class Mesh:
             "hit_map": hit.astype(np.float32).reshape(shape),
         }
 
-    # ---- RGBD rendering (structures.py:3542-3607, ray_cast method) --------
+    def _interp_attributes(self, prim_safe, bary, hit, dirs_flat):
+        """Shared fragment shading for ray-cast and raster hits: texture-uv
+        rgb interp (plib/render.py:96-180), vertex-normal interp
+        (plib/render.py:183-223), normal flip toward the viewer
+        (structures.py:3777-3780)."""
+        n = len(prim_safe)
+        if self.triangle_uvs is not None and self.textures:
+            vert_uv = self.triangle_uvs[prim_safe]  # (R, 3, 2)
+            uvq = np.sum(bary[..., None] * vert_uv, axis=-2)  # (R, 2)
+            mats = self.material_ids[prim_safe]
+            rgb = np.zeros((n, 3), np.float32)
+            for mid, tex in enumerate(self.textures):
+                sel = mats == mid
+                if sel.any():
+                    rgb[sel] = sample_texture(tex, uvq[sel])
+            rgb *= hit[:, None]
+        else:
+            rgb = np.ones((n, 3), np.float32) * hit[:, None]
+
+        vn = self.vertex_normals[self.triangles[prim_safe]]  # (R, 3, 3)
+        normals = np.sum(bary[..., None] * vn, axis=-2)
+        normals *= hit[:, None]
+        norm = np.linalg.norm(normals, axis=-1, keepdims=True)
+        normals = np.divide(normals, norm, out=np.zeros_like(normals),
+                            where=norm != 0)
+        normals = normals * (
+            -1 * np.sign(np.sum(normals * dirs_flat, axis=-1, keepdims=True))
+        )
+        return rgb, normals
+
+    # ---- offscreen z-buffer rasterization (structures.py:3609-3706) -------
+
+    def _rasterize_view(self, H_w2c, K, width, height, tile: int = 32,
+                        znear: float = 1e-4):
+        """Tiled z-buffer triangle rasterizer for one view (the TPU-native
+        replacement for the reference's o3d OffscreenRenderer at
+        structures.py:3609-3706 — same role: GT frames without ray casting).
+
+        Perspective-correct barycentrics; pixel centers at (+0.5, +0.5)
+        matching generate_camera_rays. Triangles with any vertex closer
+        than ``znear`` are dropped (no near-plane clipping — GT cameras
+        never slice the object). Returns (prim, bary, zbuf, hit) with
+        shapes (H, W), (H, W, 3), (H, W), (H, W)."""
+        V = self.vertices
+        Tr = self.triangles
+        Xc = V @ H_w2c[:3, :3].T + H_w2c[:3, 3]  # (Nv, 3) camera coords
+        tv = Xc[Tr]  # (F, 3, 3)
+        z = tv[..., 2]
+        ok = np.all(z > znear, axis=-1)
+        fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+        su = fx * tv[..., 0] / z + cx  # (F, 3) screen u
+        sv = fy * tv[..., 1] / z + cy
+        invz = 1.0 / z
+
+        # signed double-area in screen space; cull degenerates
+        area = (su[:, 1] - su[:, 0]) * (sv[:, 2] - sv[:, 0]) - (
+            su[:, 2] - su[:, 0]
+        ) * (sv[:, 1] - sv[:, 0])
+        ok &= np.abs(area) > 1e-12
+
+        prim = np.full((height, width), -1, np.int32)
+        zbuf = np.full((height, width), np.inf, np.float32)
+        bary = np.zeros((height, width, 3), np.float32)
+        fid_all = np.where(ok)[0]
+        if len(fid_all) == 0:
+            return prim, bary, zbuf, prim >= 0
+
+        # tile binning: a triangle lands in every tile its bbox touches
+        u0 = np.clip(np.floor(su[fid_all].min(1) - 0.5), 0, width - 1)
+        u1 = np.clip(np.ceil(su[fid_all].max(1) - 0.5), 0, width - 1)
+        v0 = np.clip(np.floor(sv[fid_all].min(1) - 0.5), 0, height - 1)
+        v1 = np.clip(np.ceil(sv[fid_all].max(1) - 0.5), 0, height - 1)
+        tx0, tx1 = (u0 // tile).astype(int), (u1 // tile).astype(int)
+        ty0, ty1 = (v0 // tile).astype(int), (v1 // tile).astype(int)
+
+        for ty in range((height + tile - 1) // tile):
+            rsel = (ty0 <= ty) & (ty <= ty1)
+            if not rsel.any():
+                continue
+            for tx in range((width + tile - 1) // tile):
+                sel = rsel & (tx0 <= tx) & (tx <= tx1)
+                if not sel.any():
+                    continue
+                f = fid_all[sel]  # (n,) candidate triangles
+                px0, py0 = tx * tile, ty * tile
+                tw = min(tile, width - px0)
+                th = min(tile, height - py0)
+                pu = (np.arange(tw) + px0 + 0.5)[None, None, :]  # centers
+                pv = (np.arange(th) + py0 + 0.5)[None, :, None]
+                # edge functions vs each triangle edge -> screen bary
+                au, av = su[f][:, :, None, None], sv[f][:, :, None, None]
+                w0 = (au[:, 1] - pu) * (av[:, 2] - pv) - (au[:, 2] - pu) * (
+                    av[:, 1] - pv
+                )
+                w1 = (au[:, 2] - pu) * (av[:, 0] - pv) - (au[:, 0] - pu) * (
+                    av[:, 2] - pv
+                )
+                w2 = (au[:, 0] - pu) * (av[:, 1] - pv) - (au[:, 1] - pu) * (
+                    av[:, 0] - pv
+                )
+                ar = area[f][:, None, None]
+                l0, l1, l2 = w0 / ar, w1 / ar, w2 / ar  # (n, th, tw)
+                inside = (l0 >= 0) & (l1 >= 0) & (l2 >= 0)
+                # perspective-correct: 1/z interpolates linearly in screen
+                iz = (
+                    l0 * invz[f][:, 0, None, None]
+                    + l1 * invz[f][:, 1, None, None]
+                    + l2 * invz[f][:, 2, None, None]
+                )
+                zf = np.where(inside & (iz > 0), 1.0 / np.maximum(iz, 1e-12),
+                              np.inf)
+                k = np.argmin(zf, axis=0)  # (th, tw) best candidate
+                ij = np.ogrid[:th, :tw]
+                zbest = zf[k, ij[0], ij[1]]
+                upd = zbest < zbuf[py0:py0 + th, px0:px0 + tw]
+                if not upd.any():
+                    continue
+                izk = np.maximum(iz[k, ij[0], ij[1]], 1e-12)
+                bt = np.stack(
+                    [
+                        (l[k, ij[0], ij[1]] * invz[f][k, i]) / izk
+                        for i, l in enumerate((l0, l1, l2))
+                    ],
+                    axis=-1,
+                )  # world-space barycentrics (n/z trick)
+                sl = (slice(py0, py0 + th), slice(px0, px0 + tw))
+                zbuf[sl] = np.where(upd, zbest, zbuf[sl])
+                prim[sl] = np.where(upd, f[k], prim[sl])
+                bary[sl] = np.where(upd[..., None], bt, bary[sl])
+        return prim, bary, zbuf, prim >= 0
+
+    def _rasterize_rendering(self, camera: Camera):
+        """(structures.py:3609-3706): offscreen rasterized RGBD — same
+        outputs as the ray_cast method but through the z-buffer raster
+        (useful to cross-check the ray tracer and for dense GT without a
+        BVH). Returns an RGBDImage shaped (b, q, h, w, ·)."""
+        from .rgbd_image import RGBDImage
+
+        H_c2w = np.asarray(camera.H_c2w, np.float32)
+        Ks = np.asarray(camera.intrinsic, np.float32)
+        b, q = H_c2w.shape[:2]
+        Hpx, Wpx = camera.height_px, camera.width_px
+        _, d = camera.generate_camera_rays(subsample=1, offsets="center")
+        d = np.asarray(d, np.float32)  # (b, q, h, w, 3) for the normal flip
+
+        rgbs = np.zeros((b, q, Hpx, Wpx, 3), np.float32)
+        depths = np.full((b, q, Hpx, Wpx), np.inf, np.float32)
+        normals = np.zeros((b, q, Hpx, Wpx, 3), np.float32)
+        hits = np.zeros((b, q, Hpx, Wpx), np.float32)
+        for ib in range(b):
+            for iq in range(q):
+                H_w2c = np.linalg.inv(H_c2w[ib, iq])
+                prim, bary, zbuf, hit = self._rasterize_view(
+                    H_w2c, Ks[ib, iq], Wpx, Hpx
+                )
+                prim_safe = np.where(hit, prim, 0).reshape(-1)
+                rgb, nrm = self._interp_attributes(
+                    prim_safe, bary.reshape(-1, 3), hit.reshape(-1),
+                    d[ib, iq].reshape(-1, 3),
+                )
+                rgbs[ib, iq] = rgb.reshape(Hpx, Wpx, 3)
+                normals[ib, iq] = nrm.reshape(Hpx, Wpx, 3)
+                depths[ib, iq] = zbuf
+                hits[ib, iq] = hit.astype(np.float32)
+        return RGBDImage(
+            rgb=rgbs, depth=depths, normal_w=normals, hit_map=hits,
+            camera=camera,
+        )
+
+    # ---- RGBD rendering (structures.py:3542-3607) -------------------------
 
     def get_rgbd_image(self, camera: Camera, render_method: str = "ray_cast"):
+        if render_method == "rasterization":
+            return self._rasterize_rendering(camera)
         if render_method != "ray_cast":
             raise NotImplementedError(render_method)
         o, d = camera.generate_camera_rays(subsample=1, offsets="center")

@@ -368,15 +368,62 @@ class PointCloud:
 
     # ---- meshing (ref structures.py:517-575) -----------------------------------
 
+    def estimate_normals(self, k: int = 30) -> "PointCloud":
+        """PCA normals per batch item (the o3d ``estimate_normals`` step of
+        the reference's simple task, simple_benchmark.py:275). Returns a new
+        PointCloud with normal_w filled."""
+        from . import reconstruct
+
+        outs = []
+        for ib in range(self.batch_size):
+            xyz = np.asarray(self.xyz_w[ib])
+            mask = np.asarray(self.get_valid_mask()[ib, :, 0])
+            nrm = np.zeros_like(xyz)
+            nrm[mask] = reconstruct.estimate_normals(xyz[mask], k=k)
+            outs.append(nrm)
+        return self.replace(normal_w=jnp.asarray(np.stack(outs)))
+
     def get_mesh(self, method: str = "voxel", cell_width: float = 0.05,
-                 bidx: int = 0):
-        """Point cloud -> mesh. The reference wraps o3d alpha-shape /
-        ball-pivot / poisson reconstruction; those depend on Open3D's C++
-        geometry stack. The native alternative here is voxel surface
-        extraction ('voxel'): occupied-cell boundary faces as quads."""
+                 bidx: int = 0, alpha: float = 0.1, depth: int = 6):
+        """Point cloud -> mesh (structures.py:517-575). Methods:
+
+        - 'alpha' / 'alpha_shape': Delaunay alpha shape
+          (``reconstruct.alpha_shape_mesh``; o3d
+          create_from_point_cloud_alpha_shape equivalent).
+        - 'poisson': grid Poisson reconstruction from oriented normals
+          (``reconstruct.poisson_mesh``; estimates normals if absent).
+        - 'voxel': occupied-cell boundary faces (native extra; fastest).
+        - 'ball_pivot': NOT implemented — the pivoting-front algorithm's
+          sequential edge propagation has no good vectorized/TPU
+          formulation; 'alpha' with alpha≈ball radius is the drop-in
+          substitute (see README).
+        """
+        from .mesh import Mesh
+
+        if method in ("alpha", "alpha_shape"):
+            from . import reconstruct
+
+            xyz = np.asarray(self.xyz_w[bidx])
+            mask = np.asarray(self.get_valid_mask()[bidx, :, 0])
+            v, f = reconstruct.alpha_shape_mesh(xyz[mask], alpha)
+            return Mesh({"vertices": v, "triangles": f}, scale=None,
+                        center_w=None)
+        if method == "poisson":
+            from . import reconstruct
+
+            xyz = np.asarray(self.xyz_w[bidx])
+            mask = np.asarray(self.get_valid_mask()[bidx, :, 0])
+            if self.normal_w is not None:
+                nrm = np.asarray(self.normal_w[bidx])[mask]
+            else:
+                nrm = reconstruct.estimate_normals(xyz[mask])
+            v, f = reconstruct.poisson_mesh(xyz[mask], nrm, depth=depth)
+            return Mesh({"vertices": v, "triangles": f}, scale=None,
+                        center_w=None)
         if method != "voxel":
             raise NotImplementedError(
-                f"'{method}' requires Open3D; use method='voxel'"
+                f"'{method}': supported methods are alpha/poisson/voxel "
+                f"(ball_pivot dropped — see get_mesh docstring)"
             )
         xyz = np.asarray(self.xyz_w[bidx])
         mask = np.asarray(self.get_valid_mask()[bidx, :, 0])

@@ -118,4 +118,17 @@ def test_lpips_dirs_end_to_end(tmp_path, capsys):
     missing = str(tmp_path / "none.npz")
     val2 = pic_metrics.lpips_dirs(str(d1), str(d2), weights_path=missing)
     out2 = capsys.readouterr().out
-    assert val2 is None and "unavailable" in out2
+    assert val2 is None and "SKIPPED" in out2
+
+
+def test_convert_lpips_cli(tmp_path, capsys):
+    """The one-command converter CLI: .pth in, validated npz out."""
+    from gpcr_tpu.cli import convert_lpips as cli
+
+    sd = synthetic_lpips_state_dict()
+    pth = str(tmp_path / "lpips_alex.pth")
+    torch.save(sd, pth)
+    out = str(tmp_path / "w.npz")
+    cli.main([pth, "--out", out])
+    assert L.lpips_available(out)
+    assert "lpips_available() is now True" in capsys.readouterr().out

@@ -182,3 +182,73 @@ def test_sample_elimination_fallback_matches_native():
     idx_native = nb.sample_elimination(pts, 100, r_max)
     idx_np = nb._sample_elimination_numpy(pts, 100, r_max, 8.0)
     assert set(map(int, idx_native)) == set(map(int, idx_np))
+
+
+def test_rasterization_matches_ray_cast():
+    """The z-buffer raster GT method (structures.py:3609-3706 analogue)
+    must agree with the ray tracer on depth/hit/rgb/normals."""
+    rng = np.random.RandomState(0)
+    tex = rng.rand(8, 8, 3).astype(np.float32)
+    mesh = Mesh(quad_mesh(z=0.0, texture=tex), scale=None, center_w=None)
+    H = rigid_motion.get_H_c2w_lookat(
+        jnp.asarray([0.3, -0.2, -2.2]), jnp.zeros(3),
+        jnp.asarray([0.0, 1.0, 0.0]),
+    )
+    K = derive_camera_intrinsics(48, 40, 55.0)
+    cam = Camera(
+        H_c2w=H[None, None], intrinsic=K[None, None], width_px=48,
+        height_px=40,
+    )
+    rc = mesh.get_rgbd_image(cam, render_method="ray_cast")
+    rs = mesh.get_rgbd_image(cam, render_method="rasterization")
+    hit_rc = np.asarray(rc.hit_map) > 0.5
+    hit_rs = np.asarray(rs.hit_map) > 0.5
+    # hit masks agree except possibly a 1-px silhouette rim
+    disagree = hit_rc ^ hit_rs
+    assert disagree.mean() < 0.02, disagree.mean()
+    both = hit_rc & hit_rs
+    d1, d2 = np.asarray(rc.depth)[both], np.asarray(rs.depth)[both]
+    np.testing.assert_allclose(d1, d2, atol=1e-3)
+    c1, c2 = np.asarray(rc.rgb)[both], np.asarray(rs.rgb)[both]
+    assert np.abs(c1 - c2).max() < 2e-2  # bilinear texture at subpx offsets
+    n1, n2 = np.asarray(rc.normal_w)[both], np.asarray(rs.normal_w)[both]
+    np.testing.assert_allclose(n1, n2, atol=1e-4)
+
+
+def test_rasterization_occlusion():
+    """Two stacked quads: the raster z-buffer must keep the nearer one."""
+    near = quad_mesh(z=-0.5, size=0.4)
+    far = quad_mesh(z=0.5, size=1.0)
+    merged = {
+        "vertices": np.concatenate([near["vertices"], far["vertices"]]),
+        "triangles": np.concatenate(
+            [near["triangles"], far["triangles"] + 4]
+        ),
+        "triangle_uvs": np.concatenate(
+            [near["triangle_uvs"], far["triangle_uvs"]]
+        ),
+        "textures": [],
+        "material_ids": np.zeros(4, np.int32),
+    }
+    mesh = Mesh(merged, scale=None, center_w=None)
+    H = rigid_motion.get_H_c2w_lookat(
+        jnp.asarray([0.0, 0.0, -2.0]), jnp.zeros(3),
+        jnp.asarray([0.0, 1.0, 0.0]),
+    )
+    K = derive_camera_intrinsics(32, 32, 60.0)
+    cam = Camera(
+        H_c2w=H[None, None], intrinsic=K[None, None], width_px=32,
+        height_px=32,
+    )
+    rs = mesh.get_rgbd_image(cam, render_method="rasterization")
+    depth = np.asarray(rs.depth)[0, 0]
+    # center pixel sees the near quad (z=-0.5 -> camera depth 1.5)
+    np.testing.assert_allclose(depth[16, 16], 1.5, atol=1e-3)
+    # and the z-buffer must agree with the ray tracer everywhere: both
+    # depth planes (1.5 near, 2.5 far) and the misses
+    rc = mesh.get_rgbd_image(cam, render_method="ray_cast")
+    drc = np.asarray(rc.depth)[0, 0]
+    both = np.isfinite(depth) & np.isfinite(drc)
+    assert (np.isfinite(depth) ^ np.isfinite(drc)).mean() < 0.02
+    np.testing.assert_allclose(depth[both], drc[both], atol=1e-3)
+    assert {1.5, 2.5} <= set(np.round(depth[both], 3).tolist())

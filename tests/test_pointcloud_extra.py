@@ -83,3 +83,60 @@ def test_get_mesh_voxel():
     d = np.tile(np.array([[0.0, 0.0, 1.0]], np.float32), (k, 1))
     res = mesh.get_ray_intersection(Ray(jnp.asarray(o[None]), jnp.asarray(d[None])))
     assert np.asarray(res["hit_map"][0]).sum() >= k - 1
+
+
+def _sphere_cloud(n=2000, r=1.0, seed=0):
+    rng = np.random.RandomState(seed)
+    v = rng.randn(n, 3)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    return (v * r).astype(np.float32), v.astype(np.float32)
+
+
+def test_estimate_normals_sphere():
+    xyz, true_n = _sphere_cloud()
+    pcd = PointCloud.from_numpy(xyz)
+    pcd2 = pcd.estimate_normals(k=16)
+    got = np.asarray(pcd2.normal_w[0])
+    cos = np.abs((got * true_n).sum(-1))
+    assert cos.mean() > 0.99, cos.mean()
+    # outward orientation: positive dot with the radial direction
+    assert ((got * true_n).sum(-1) > 0).mean() > 0.99
+
+
+def test_get_mesh_poisson_sphere():
+    """Poisson reconstruction of a sphere cloud: vertices lie near r=1."""
+    xyz, true_n = _sphere_cloud(4000)
+    pcd = PointCloud.from_numpy(xyz, normal=true_n)
+    mesh = pcd.get_mesh(method="poisson", depth=5)
+    assert len(mesh.vertices) > 200 and len(mesh.triangles) > 200
+    rad = np.linalg.norm(mesh.vertices, axis=-1)
+    assert abs(float(np.median(rad)) - 1.0) < 0.15, np.median(rad)
+    assert float(np.std(rad)) < 0.1
+    # reconstructed surface is closed enough to ray-cast
+    t, prim, _, _ = mesh._cast(
+        np.array([[0, 0, -3.0]], np.float32), np.array([[0, 0, 1.0]], np.float32)
+    )
+    assert np.isfinite(t[0]) and 1.7 < t[0] < 2.3
+
+
+def test_get_mesh_alpha_shape_ball():
+    """Solid-ball cloud (a pure sphere is degenerate: every Delaunay tet of
+    co-spherical points has circumradius exactly 1, so the filter is
+    all-or-nothing). The alpha shape must be a closed shell near r=1."""
+    rng = np.random.RandomState(0)
+    v = rng.randn(3000, 3)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    r = rng.rand(3000) ** (1 / 3)
+    xyz = (v * r[:, None]).astype(np.float32)
+    pcd = PointCloud.from_numpy(xyz)
+    mesh = pcd.get_mesh(method="alpha", alpha=0.3)
+    f = np.asarray(mesh.triangles)
+    assert len(f) > 100
+    rad = np.linalg.norm(mesh.vertices, axis=-1)
+    assert float(np.median(rad)) > 0.9  # boundary points hug the surface
+    # every edge of the boundary shell is shared by exactly 2 faces
+    edges = np.sort(
+        np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [0, 2]]]), axis=1
+    )
+    _, counts = np.unique(edges, axis=0, return_counts=True)
+    assert (counts == 2).all()
