@@ -125,6 +125,7 @@ def get_pcrender_renders(args):
         # (simple_raw_render.py:372-379); under XLA the first call compiles
         warm_timing=True,
         config=_raster_config(args),
+        shard=(args.shard if args.shard != "none" else None),
     )
     camera, cam_info = _camera_for(args, "pcrender")
     input_offset = np.array(args.input_offset.split(","), dtype=np.float32)
@@ -166,6 +167,7 @@ def get_simple_renders(args):
         voxelized=args.voxelized, scale_factor=args.scale_factor,
         offset=args.offset, config=_raster_config(args),
         warm_timing=True,
+        shard=(args.shard if args.shard != "none" else None),
     )
     camera, cam_info = _camera_for(args, "simple")
     input_offset = np.array(args.input_offset.split(","), dtype=np.float32)
@@ -269,6 +271,12 @@ def build_parser():
                         "dropped entries are warned after the render")
     p.add_argument("--max_active_tiles", type=int, default=0,
                    help="grid budget on non-empty tiles (0 = all)")
+    p.add_argument("--shard", type=str, default="none",
+                   choices=["none", "views", "tiles"],
+                   help="multi-chip rendering over every local device: "
+                        "'views' shards the view axis (throughput), "
+                        "'tiles' shards each frame's tile grid (latency); "
+                        "parallel/render.py")
     p.add_argument("--num_frames", type=int, default=12)
     p.add_argument("--use_t_indices", action="store_true")
     p.add_argument("--t_idx_pth", type=str, default="t_idx.npy")

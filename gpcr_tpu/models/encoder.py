@@ -155,9 +155,13 @@ class PCEncoder:
             normal = feat[:, used : used + 3]
             used += 3
             if info.normalize_normal:
-                normal = normal / jnp.maximum(
-                    jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-12
-                )
+                # grad-safe normalize: padding rows are exactly zero, and
+                # d||n||/dn at n=0 is NaN even under maximum() (both
+                # branches are differentiated) — the double-where keeps
+                # sqrt away from 0 so training gradients stay finite
+                norm2 = jnp.sum(normal**2, axis=-1, keepdims=True)
+                safe = jnp.sqrt(jnp.where(norm2 > 0, norm2, 1.0))
+                normal = jnp.where(norm2 > 0, normal / safe, 0.0)
         else:
             normal = None
 

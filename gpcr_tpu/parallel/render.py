@@ -58,7 +58,7 @@ def rasterize_tile_sharded(
         scales=scales, rotations=rotations, cov3d_precomp=cov3d_precomp,
         shs=shs, colors_precomp=colors_precomp, valid_mask=valid_mask,
     )
-    sorted_gidx, starts, _ = R.tile_bin(prep, num_tiles, grid_x, config)
+    sorted_gidx, starts, overflow = R.tile_bin(prep, num_tiles, grid_x, config)
     channels = prep.features.shape[-1]
 
     packed_all = jnp.concatenate(
@@ -108,4 +108,112 @@ def rasterize_tile_sharded(
     t_img = t_img.transpose(0, 2, 1, 3).reshape(
         grid_y * config.tile_y, grid_x * config.tile_x
     )[:H, :W]
-    return out, prep.radius.astype(jnp.int32), t_img
+    return out, prep.radius.astype(jnp.int32), t_img, overflow
+
+
+def render_views_sharded(
+    mesh: Mesh,
+    mode: str,  # 'views' | 'tiles'
+    view_ts, full_ts, camposes,  # (q, 4, 4), (q, 4, 4), (q, 3)
+    means3d, scales, rotations, opacity, shs, normal, valid,
+    bg3, tanfov,
+    height: int, width: int, out_h: int, out_w: int, sh_degree: int,
+    config: R.RasterizeConfig, with_normal: bool,
+    axis: str = "sp",
+):
+    """Multi-chip version of ``render.renderer.render_views_fused`` — the
+    user-facing entry the benchmark CLI's ``--shard views|tiles`` reaches.
+
+    - ``'views'``: each device renders q/n of the views (per-gaussian
+      arrays replicated; one all_gather of the finished images). Scales
+      throughput for multi-view dispatches.
+    - ``'tiles'``: every view is rendered cooperatively — preprocess +
+      binning replicated, each device blends a slice of the tile grid
+      (``rasterize_tile_sharded``). Scales latency for single frames.
+
+    Returns the same dict as render_views_fused.
+    """
+    import functools
+
+    from ..render import renderer as RR
+
+    n = mesh.shape[axis]
+    if mode == "views":
+        q = view_ts.shape[0]
+        qp = -(-q // n) * n
+
+        def padv(x):
+            if qp == q:
+                return x
+            return jnp.concatenate(
+                [x] + [x[-1:]] * (qp - q), axis=0
+            )
+
+        fused = functools.partial(
+            RR.render_views_fused,
+            height=height, width=width, out_h=out_h, out_w=out_w,
+            sh_degree=sh_degree, config=config, with_normal=with_normal,
+        )
+
+        def local(vt, ft, cp, means3d, scales, rotations, opacity, shs,
+                  normal, valid, bg3, tanfov):
+            out = fused(vt, ft, cp, means3d, scales, rotations, opacity,
+                        shs, normal, valid, bg3, tanfov)
+            if not with_normal:
+                out.pop("normal")
+            return out
+
+        rep = P()
+        out = shard_map(
+            local, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis)) + (rep,) * 9,
+            out_specs={
+                k: P(axis)
+                for k in (
+                    ["rgb", "xyz_w", "hitmap", "dup_overflow"]
+                    + (["normal"] if with_normal else [])
+                )
+            },
+            check_vma=False,
+        )(
+            padv(view_ts), padv(full_ts), padv(camposes),
+            means3d, scales, rotations, opacity, shs, normal, valid,
+            bg3, jnp.asarray(tanfov),
+        )
+        out = {k: v[:q] for k, v in out.items()}
+        if not with_normal:
+            out["normal"] = None
+        return out
+
+    if mode != "tiles":
+        raise ValueError(f"unknown shard mode {mode!r}")
+
+    colors, overflows = [], []
+    for i in range(view_ts.shape[0]):
+        features, bg = RR.fuse_view_features(
+            camposes[i], means3d, shs, normal, bg3, sh_degree, with_normal
+        )
+        settings = R.GaussianRasterizationSettings(
+            image_height=height, image_width=width,
+            tanfovx=tanfov, tanfovy=tanfov, bg=bg, scale_modifier=1.0,
+            viewmatrix=view_ts[i], projmatrix=full_ts[i],
+            sh_degree=sh_degree, campos=camposes[i],
+        )
+        color, _radii, _t, ovf = rasterize_tile_sharded(
+            means3d, opacity, settings, mesh, axis=axis,
+            scales=scales, rotations=rotations, colors_precomp=features,
+            valid_mask=valid, config=config,
+        )
+        colors.append(color)
+        overflows.append(ovf)
+    colors = RR.bilinear_resize(jnp.stack(colors), out_h, out_w)
+    out = {
+        "rgb": colors[:, 0:3].transpose(0, 2, 3, 1),
+        "xyz_w": colors[:, 3:6].transpose(0, 2, 3, 1),
+        "hitmap": colors[:, 6:9].transpose(0, 2, 3, 1),
+        "normal": (
+            colors[:, 9:12].transpose(0, 2, 3, 1) if with_normal else None
+        ),
+        "dup_overflow": jnp.stack(overflows),
+    }
+    return out

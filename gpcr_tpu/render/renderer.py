@@ -159,13 +159,11 @@ def bilinear_resize(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
 # --------------------------------------------------------------------------
 
 
-def _render_one_view(
-    view_t, full_t, campos,
-    means3d, scales, rotations, opacity, shs, normal, valid,
-    bg3, tanfov, height, width, sh_degree, config: R.RasterizeConfig,
-    with_normal: bool, use_pallas: bool = False,
-):
-    """Render one view with all output channels fused into one pass."""
+def fuse_view_features(campos, means3d, shs, normal, bg3, sh_degree,
+                       with_normal):
+    """Per-view fused feature assembly: [rgb | xyz | ones | (flipped
+    normal)] — the four reference pipelines' payloads as channels of ONE
+    pass (simple_raw_render.py:410-522). Returns (features, bg)."""
     rgb = sh_utils.eval_sh_color(sh_degree, shs, means3d, campos)
     feats = [rgb, means3d, jnp.ones_like(means3d)]
     bgs = [bg3, bg3, bg3]
@@ -176,8 +174,19 @@ def _render_one_view(
         ) * 2.0 - 1.0
         feats.append(normal * (-1.0) * sgn)  # camera-facing flip (:264-268)
         bgs.append(bg3)
-    features = jnp.concatenate(feats, axis=-1)
-    bg = jnp.concatenate(bgs, axis=-1)
+    return jnp.concatenate(feats, axis=-1), jnp.concatenate(bgs, axis=-1)
+
+
+def _render_one_view(
+    view_t, full_t, campos,
+    means3d, scales, rotations, opacity, shs, normal, valid,
+    bg3, tanfov, height, width, sh_degree, config: R.RasterizeConfig,
+    with_normal: bool, use_pallas: bool = False,
+):
+    """Render one view with all output channels fused into one pass."""
+    features, bg = fuse_view_features(
+        campos, means3d, shs, normal, bg3, sh_degree, with_normal
+    )
 
     settings = R.GaussianRasterizationSettings(
         image_height=height, image_width=width, tanfovx=tanfov, tanfovy=tanfov,
@@ -294,6 +303,33 @@ def est_normal_from_ellipsoid(scale, rotation):
     return jnp.take_along_axis(Rm, idx[:, None, None], axis=2)[..., 0]
 
 
+def _make_sharded_runner(shard: str, shard_mesh=None):
+    """A jitted drop-in for ``render_views_fused`` that renders over every
+    local device (parallel.render.render_views_sharded). ``shard`` is
+    'views' or 'tiles'; the mesh defaults to all devices on one axis."""
+    from ..parallel.render import render_views_sharded
+    from ..parallel.sharding import make_mesh
+
+    mesh = shard_mesh or make_mesh(sp=len(jax.devices()))
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("height", "width", "out_h", "out_w", "sh_degree",
+                         "config", "with_normal"),
+    )
+    def run(view_ts, full_ts, camposes, means3d, scales, rotations, opacity,
+            shs, normal, valid, bg3, tanfov, *, height, width, out_h, out_w,
+            sh_degree, config, with_normal):
+        return render_views_sharded(
+            mesh, shard, view_ts, full_ts, camposes, means3d, scales,
+            rotations, opacity, shs, normal, valid, bg3, tanfov,
+            height=height, width=width, out_h=out_h, out_w=out_w,
+            sh_degree=sh_degree, config=config, with_normal=with_normal,
+        )
+
+    return run
+
+
 # --------------------------------------------------------------------------
 # SimpleRender (simple_raw_render.py:547-854)
 # --------------------------------------------------------------------------
@@ -305,7 +341,8 @@ class SimpleRender:
 
     def __init__(self, voxelized=True, scale_factor=None, offset=512,
                  config: R.RasterizeConfig = R.RasterizeConfig(),
-                 warm_timing: bool = False):
+                 warm_timing: bool = False,
+                 shard: T.Optional[str] = None, shard_mesh=None):
         self.voxelized = voxelized
         self.scale_factor = 1.0 if scale_factor is None else scale_factor
         self.offset = offset
@@ -314,6 +351,10 @@ class SimpleRender:
         # reference's xyz pass pre-warms its CUDA kernels the same way,
         # simple_raw_render.py:410-430; under XLA the first call compiles)
         self.warm_timing = warm_timing
+        # 'views' | 'tiles': render over every local device via
+        # parallel.render.render_views_sharded (CLI --shard)
+        self.shard = shard
+        self.shard_mesh = shard_mesh
 
     def render(
         self, pcd: PointCloud, scale, cam: Camera, fov: float,
@@ -384,8 +425,14 @@ class SimpleRender:
             super_sample_rate=super_sample_rate,
         )
 
+        if self.shard and not hasattr(self, "_shard_runner"):
+            self._shard_runner = _make_sharded_runner(
+                self.shard, self.shard_mesh
+            )
+        fused = self._shard_runner if self.shard else render_views_fused
+
         def _run():
-            return render_views_fused(
+            return fused(
                 rp["view_t"], rp["full_t"], rp["campos"],
                 means, scales, rotations, opacity, shs,
                 jnp.zeros_like(means), valid, bg3, rp["tanfov"],
@@ -454,7 +501,10 @@ class PCMLRender:
         info: T.Optional[dict] = None, params=None,
         config: R.RasterizeConfig = R.RasterizeConfig(),
         compute_dtype=None, warm_timing: bool = False,
+        shard: T.Optional[str] = None, shard_mesh=None,
     ):
+        self.shard = shard
+        self.shard_mesh = shard_mesh
         if ckpt is not None:
             self.params, info = load_pcml(ckpt)
         else:
@@ -604,8 +654,14 @@ class PCMLRender:
             super_sample_rate=super_sample_rate,
         )
 
+        if self.shard and not hasattr(self, "_shard_runner"):
+            self._shard_runner = _make_sharded_runner(
+                self.shard, self.shard_mesh
+            )
+        fused = self._shard_runner if self.shard else render_views_fused
+
         def _run():
-            return render_views_fused(
+            return fused(
                 rp["view_t"], rp["full_t"], rp["campos"],
                 means, scales, sp.rotation, opacity, sp.sh, normal,
                 sp.valid, bg3, rp["tanfov"],

@@ -101,8 +101,53 @@ def scene_to_example(
     }
 
 
+def cloud_to_example(
+    coords_grid: np.ndarray, rgb: np.ndarray, mesh: Mesh, rng,
+    n_points: int, n_views: int, hw: int, fov: float = 60.0,
+) -> dict:
+    """One example from a FIXED pre-quantized cloud (dataset `pcd_0.ply`
+    layout) + its mesh GT: random views, ray-cast targets."""
+    n = len(coords_grid)
+    if n > n_points:
+        keep = rng.choice(n, n_points, replace=False)
+        coords_grid, rgb = coords_grid[keep], rgb[keep]
+        n = n_points
+    coords = np.zeros((n_points, 3), np.float32)
+    rgbs = np.zeros((n_points, 3), np.float32)
+    coords[:n], rgbs[:n] = coords_grid, rgb
+    valid = np.arange(n_points) < n
+
+    cam = random_view_camera(rng, n_views, hw, fov=fov)
+    o, d = cam.generate_camera_rays(subsample=1, offsets="center")
+    gt = mesh.get_ray_intersection(Ray(origins_w=o, directions_w=d))
+    rp = get_rasterize_param_from_camera(cam, fov, super_sample_rate=1)
+    return {
+        "coords": coords,
+        "rgb": rgbs,
+        "valid": valid,
+        "view_t": np.asarray(rp["view_t"]),
+        "full_t": np.asarray(rp["full_t"]),
+        "campos": np.asarray(rp["campos"]),
+        "gt_rgb": np.asarray(gt["ray_rgbs"][0], np.float32),
+        "gt_normal": np.asarray(gt["surface_normals_w"][0], np.float32),
+        "gt_hit": np.asarray(gt["hit_map"][0], np.float32)[..., None],
+        "tanfov": np.float32(rp["tanfov"]),
+    }
+
+
 class DataLoader:
-    """Batches of training examples from meshes (or synthetic scenes)."""
+    """Batches of training examples from meshes (or synthetic scenes).
+
+    Scene sources (checked in order):
+    - ``dataset_root``: THuman-style trees ``<root>/<id>/<id>.obj`` (mesh
+      GT; required) + optional ``<root>/<id>/pcd_0.ply`` (fixed
+      pre-quantized cloud, used instead of re-sampling when present) —
+      the layout the reference benchmark consumes
+      (simple_benchmark.py:174-186) and its options.yaml dataset_info
+      points at.
+    - ``mesh_paths``: explicit .obj list (clouds re-sampled per example).
+    - neither: a pool of synthetic quad-soup scenes.
+    """
 
     def __init__(
         self,
@@ -114,6 +159,9 @@ class DataLoader:
         scale_factor: int = 96,
         seed: int = 0,
         synthetic_pool: int = 8,
+        dataset_root: T.Optional[str] = None,
+        ids: T.Optional[T.Sequence[str]] = None,
+        offset: float = 512.0,
     ):
         self.rng = np.random.RandomState(seed)
         self.batch_size = batch_size
@@ -121,21 +169,57 @@ class DataLoader:
         self.n_views = n_views
         self.hw = hw
         self.scale_factor = scale_factor
-        if mesh_paths:
-            self.meshes = [Mesh(p, scale=1.0) for p in mesh_paths]
+        self.offset = offset
+        # each scene: {"mesh": Mesh, "coords": grid coords or None, "rgb"}
+        self.scenes: T.List[dict] = []
+        if dataset_root:
+            import os
+
+            from ..io.ply import read_ply
+
+            for id in (ids or sorted(os.listdir(dataset_root))):
+                obj = os.path.join(dataset_root, id, f"{id}.obj")
+                if not os.path.isfile(obj):
+                    continue
+                scene = {"mesh": Mesh(obj, scale=1.0), "coords": None,
+                         "rgb": None, "id": id}
+                ply = os.path.join(dataset_root, id, "pcd_0.ply")
+                if os.path.isfile(ply):
+                    d = read_ply(ply)
+                    scene["coords"] = np.asarray(d["xyz"], np.float32)
+                    scene["rgb"] = np.asarray(d["rgb"], np.float32)
+                self.scenes.append(scene)
+            if not self.scenes:
+                raise FileNotFoundError(
+                    f"no <id>/<id>.obj scenes under {dataset_root}"
+                )
+        elif mesh_paths:
+            self.scenes = [
+                {"mesh": Mesh(p, scale=1.0), "coords": None, "rgb": None}
+                for p in mesh_paths
+            ]
         else:
-            self.meshes = [synthetic_scene(seed=s) for s in range(synthetic_pool)]
+            self.scenes = [
+                {"mesh": synthetic_scene(seed=s), "coords": None, "rgb": None}
+                for s in range(synthetic_pool)
+            ]
+
+    def _example(self, scene) -> dict:
+        if scene["coords"] is not None:
+            return cloud_to_example(
+                scene["coords"], scene["rgb"], scene["mesh"], self.rng,
+                self.n_points, self.n_views, self.hw,
+            )
+        return scene_to_example(
+            scene["mesh"], self.rng, self.n_points, self.n_views, self.hw,
+            scale_factor=self.scale_factor, offset=self.offset,
+        )
 
     def next_batch(self) -> dict:
-        examples = []
-        for _ in range(self.batch_size):
-            mesh = self.meshes[self.rng.randint(len(self.meshes))]
-            examples.append(
-                scene_to_example(
-                    mesh, self.rng, self.n_points, self.n_views, self.hw,
-                    scale_factor=self.scale_factor,
-                )
-            )
+        examples = [
+            self._example(self.scenes[self.rng.randint(len(self.scenes))])
+            for _ in range(self.batch_size)
+        ]
         batch = {
             k: jnp.asarray(np.stack([e[k] for e in examples]))
             for k in examples[0]

@@ -81,8 +81,10 @@ class Trainer:
         opt_state = self.optimizer.init(params)
         return params, opt_state
 
-    def _per_cloud_loss(self, params, coords, rgb, valid, view_t, full_t,
-                        campos, gt_rgb, gt_normal, gt_hit, tanfov):
+    def _per_cloud_render(self, params, coords, rgb, valid, view_t, full_t,
+                          campos, tanfov):
+        """Encode one cloud and render every view; returns the out dict
+        {'rgb','hitmap','normal'} with (V, h, w, C) images."""
         info = self.info
         feats = assemble_input_features(info, coords, rgb, self.offset)
         grid = sparse.quantize_average(coords, feats, valid=valid)
@@ -112,13 +114,19 @@ class Trainer:
             return color  # (C, h, w)
 
         colors = jax.vmap(render_view)(view_t, full_t, campos)  # (V, C, h, w)
-        out = {
+        return {
             "rgb": colors[:, 0:3].transpose(0, 2, 3, 1),
             "hitmap": colors[:, 6:9].transpose(0, 2, 3, 1),
             "normal": (
                 colors[:, 9:12].transpose(0, 2, 3, 1) if with_normal else None
             ),
         }
+
+    def _per_cloud_loss(self, params, coords, rgb, valid, view_t, full_t,
+                        campos, gt_rgb, gt_normal, gt_hit, tanfov):
+        out = self._per_cloud_render(
+            params, coords, rgb, valid, view_t, full_t, campos, tanfov
+        )
         gt = {"rgb": gt_rgb, "normal_w": gt_normal, "hit_map": gt_hit}
         return L.render_losses(out, gt, self.weights)
 
@@ -135,6 +143,28 @@ class Trainer:
         )
         return jnp.mean(totals), {k: jnp.mean(v) for k, v in terms.items()}
 
+    def make_eval_psnr(self):
+        """Jitted eval: render every (cloud, view) in a batch and score
+        PSNR of the rgb channels vs the ray-cast GT (the held-out-view
+        quality probe the training demo reports)."""
+
+        def eval_fn(params, batch):
+            def per_cloud(coords, rgb, valid, vt, ft, cp, gt_rgb):
+                out = self._per_cloud_render(
+                    params, coords, rgb, valid, vt, ft, cp, batch["tanfov"]
+                )
+                mse = jnp.mean((out["rgb"] - gt_rgb) ** 2)
+                return -10.0 * jnp.log10(jnp.maximum(mse, 1e-10))
+
+            psnrs = jax.vmap(per_cloud)(
+                batch["coords"], batch["rgb"], batch["valid"],
+                batch["view_t"], batch["full_t"], batch["campos"],
+                batch["gt_rgb"],
+            )
+            return jnp.mean(psnrs)
+
+        return jax.jit(eval_fn)
+
     def make_train_step(self, donate: bool = True):
         def step(params, opt_state, batch):
             (total, terms), grads = jax.value_and_grad(
@@ -146,3 +176,38 @@ class Trainer:
             return params, opt_state, metrics
 
         return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
+
+# ---- train-state checkpointing (render/checkpoint.py handles bare model
+# params; these add optimizer state + step for resume) ----------------------
+
+
+def save_train_state(path: str, params, opt_state, step: int):
+    """Flat-npz snapshot of (params, opt_state, step). Structure is NOT
+    stored — load_train_state rebuilds it from a freshly-initialized
+    Trainer, so snapshots stay plain arrays (no pickling)."""
+    import numpy as np
+
+    leaves, _ = jax.tree_util.tree_flatten((params, opt_state))
+    flat = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    flat["step"] = np.asarray(step)
+    np.savez(path, **flat)
+
+
+def load_train_state(path: str, params_template, opt_state_template):
+    """Returns (params, opt_state, step). Templates come from
+    Trainer.init(key) — shapes/structure must match the snapshot."""
+    import numpy as np
+
+    data = np.load(path)
+    template = (params_template, opt_state_template)
+    leaves, treedef = jax.tree_util.tree_flatten(template)
+    loaded = [jnp.asarray(data[f"leaf_{i}"]) for i in range(len(leaves))]
+    for got, want in zip(loaded, leaves):
+        if got.shape != jnp.shape(want):
+            raise ValueError(
+                f"snapshot/template shape mismatch: {got.shape} vs "
+                f"{jnp.shape(want)} — did the model config change?"
+            )
+    params, opt_state = jax.tree_util.tree_unflatten(treedef, loaded)
+    return params, opt_state, int(data["step"])

@@ -92,8 +92,11 @@ ms = (time.perf_counter() - t0) * 1e3
 np.save("/tmp/smoke_{platform}_{int(use_stream)}.npy", np.asarray(out))
 print(json.dumps(dict(ms=ms, platform=str(jax.devices()[0]))))
 """
+    # generous timeout: the XLA-blend compile is ~2 min unloaded but has
+    # been observed >15 min when the host CPU is saturated by concurrent
+    # jobs (XLA compiles host-side; the persistent cache makes reruns fast)
     r = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                       text=True, timeout=900, env=subprocess_env(platform))
+                       text=True, timeout=2400, env=subprocess_env(platform))
     if r.returncode != 0:
         raise RuntimeError(f"{platform} render failed:\n{r.stderr[-2000:]}")
     import json

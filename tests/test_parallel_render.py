@@ -31,7 +31,7 @@ def test_tile_sharded_matches_single():
     )
     mesh = make_mesh(sp=8)
     with mesh:
-        c_sh, radii_sh, t_img = rasterize_tile_sharded(
+        c_sh, radii_sh, t_img, _ovf = rasterize_tile_sharded(
             jnp.asarray(means), jnp.asarray(ops_), settings, mesh, axis="sp",
             scales=jnp.asarray(scales), rotations=jnp.asarray(rots),
             colors_precomp=jnp.asarray(feats), config=cfg,
@@ -61,7 +61,7 @@ def test_tile_sharded_non_divisible():
     )
     mesh = make_mesh(sp=8)
     with mesh:
-        c_sh, _, _ = rasterize_tile_sharded(
+        c_sh, _, _, _ovf = rasterize_tile_sharded(
             jnp.asarray(means), jnp.asarray(ops_), settings, mesh, axis="sp",
             scales=jnp.asarray(scales), rotations=jnp.asarray(rots),
             colors_precomp=jnp.asarray(feats), config=cfg,
@@ -91,3 +91,75 @@ def test_distributed_initialize_single_process_noop():
     assert distributed.initialize() is False  # single process: no-op
     s = distributed.local_batch_slice(10)
     assert s == slice(0, 10)
+
+
+def _fused_inputs(n=80, q=3, wh=32, sh_deg=1, seed=5):
+    rng = np.random.RandomState(seed)
+    means, scales, rots, ops_, _ = random_scene(n, seed=seed)
+    shs = rng.rand(n, (2 ** (sh_deg + 1)) * 3 + 1, 3).astype(np.float32)
+    normal = rng.randn(n, 3).astype(np.float32)
+    vts, fts, cps = [], [], []
+    for i in range(q):
+        ang = 0.3 * i
+        vt, ft, tanfov, cp = make_camera_matrices(
+            [0.5 * np.sin(ang), 0.2, -2.5 + 0.2 * i], wh, wh
+        )
+        vts.append(vt), fts.append(ft), cps.append(cp)
+    return (
+        jnp.stack(vts), jnp.stack(fts), jnp.stack(cps),
+        jnp.asarray(means), jnp.asarray(scales), jnp.asarray(rots),
+        jnp.asarray(ops_), jnp.asarray(shs), jnp.asarray(normal),
+        jnp.ones((n,), bool), jnp.asarray([0.2, 0.3, 0.1]),
+        jnp.float32(tanfov),
+    )
+
+
+def test_render_views_sharded_matches_fused():
+    """--shard views|tiles must reproduce render_views_fused exactly."""
+    from gpcr_tpu.parallel.render import render_views_sharded
+    from gpcr_tpu.render.renderer import render_views_fused
+
+    wh, q = 32, 3  # q=3 on 8 devices exercises view padding
+    args = _fused_inputs(q=q, wh=wh)
+    kw = dict(height=wh, width=wh, out_h=wh, out_w=wh, sh_degree=1,
+              config=R.RasterizeConfig(max_dup_per_gaussian=32,
+                                       chunk_size=32, tile_batch=4),
+              with_normal=True)
+    ref = render_views_fused(*args, **kw)
+    mesh = make_mesh(sp=8)
+    with mesh:
+        for mode in ("views", "tiles"):
+            got = render_views_sharded(mesh, mode, *args, **kw)
+            for k in ("rgb", "xyz_w", "hitmap", "normal"):
+                np.testing.assert_allclose(
+                    np.asarray(got[k]), np.asarray(ref[k]), atol=2e-5,
+                    err_msg=f"{mode}/{k}",
+                )
+            assert got["rgb"].shape[0] == q
+
+
+def test_simple_render_sharded_cli_path():
+    """SimpleRender(shard='views') — the CLI --shard surface — matches the
+    unsharded render."""
+    from gpcr_tpu.render.renderer import SimpleRender
+    from gpcr_tpu.structures.pointcloud import PointCloud
+    from gpcr_tpu.structures.trajectory import CameraTrajectory
+
+    rng = np.random.RandomState(0)
+    v = rng.randn(300, 3)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    pcd = PointCloud.from_numpy(
+        (v * 0.8).astype(np.float32), (v * 0.5 + 0.5).astype(np.float32)
+    )
+    traj = CameraTrajectory(mode="circle", n_imgs=2, total=1,
+                            params={"d": 0, "r": 3,
+                                    "center_angles": [90, 0]})
+    cam = traj.get_camera(fov=60.0, width_px=32, height_px=32)
+    kw = dict(scale=None, cam=cam, fov=60.0, super_sample_rate=1,
+              sigma=0.05)
+    ref = SimpleRender(voxelized=False).render(pcd, **kw)
+    got = SimpleRender(voxelized=False, shard="views",
+                       shard_mesh=make_mesh(sp=8)).render(pcd, **kw)
+    np.testing.assert_allclose(
+        np.asarray(got["rgb"]), np.asarray(ref["rgb"]), atol=2e-5
+    )
