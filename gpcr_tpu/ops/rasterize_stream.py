@@ -124,37 +124,47 @@ def bin_sorted_stream(
     # +1 sentinel row (opacity 0 -> inert), pad lanes to 128
     packed = jnp.pad(packed, ((0, 1), (0, 128 - packed.shape[1])))
 
-    # 3. emit entries in depth order (broadcast over sort payloads)
-    valid_s = valid_si.astype(bool)
-    rw = jnp.maximum(rmaxx_s - rminx_s, 1)
-    area_raw = (rmaxx_s - rminx_s) * (rmaxy_s - rminy_s)
+    # 3. emit entries, (cap, n) orientation: the lane axis carries the
+    # 800K gaussians (an (n, cap) layout would use cap of 128 lanes —
+    # 32x VPU waste; transposing cut the emit from ~7 ms to ~1 ms)
+    valid_s = valid_si.astype(bool)[None, :]
+    rw = jnp.maximum(rmaxx_s - rminx_s, 1)[None, :]
+    area_raw = ((rmaxx_s - rminx_s) * (rmaxy_s - rminy_s))[None, :]
     area = jnp.where(valid_s, jnp.minimum(area_raw, cap), 0)
     overflow = jnp.sum(
         jnp.where(valid_s, jnp.maximum(area_raw - cap, 0), 0)
     )
 
-    k = jnp.arange(cap, dtype=jnp.int32)
+    k = jax.lax.broadcasted_iota(jnp.int32, (cap, n), 0)
     # k // rw and k % rw without integer division (no native int divide on
     # the VPU — div/mod emit cost ~15 ms/frame): k < cap is tiny, so
     # k // rw == sum_j [k >= j*rw] over j = 1..cap-1
-    kdiv = jnp.zeros((n, cap), jnp.int32)
+    kdiv = jnp.zeros((cap, n), jnp.int32)
     for j in range(1, cap):
-        kdiv = kdiv + (k[None, :] >= j * rw[:, None]).astype(jnp.int32)
-    kmod = k[None, :] - kdiv * rw[:, None]
-    ty = rminy_s[:, None] + kdiv
-    tx = rminx_s[:, None] + kmod
-    dup_valid = valid_s[:, None] & (k[None, :] < area[:, None])
+        kdiv = kdiv + (k >= j * rw).astype(jnp.int32)
+    kmod = k - kdiv * rw
+    ty = rminy_s[None, :] + kdiv
+    tx = rminx_s[None, :] + kmod
+    dup_valid = valid_s & (k < area)
     tile_flat = jnp.where(
         dup_valid, ty * grid_x + tx, num_tiles
     ).astype(jnp.int32).reshape(-1)
+    # depth rank of the owning gaussian — the explicit secondary key
+    pos_flat = jax.lax.broadcasted_iota(
+        jnp.int32, (cap, n), 1
+    ).reshape(-1)
     g_flat = jnp.where(
-        dup_valid, gidx_s[:, None], n  # sentinel row index
+        dup_valid, gidx_s[None, :], n  # sentinel row index
     ).reshape(-1)
 
-    # 4. THE sort: stable single-key i32 (within a tile, input positions
-    # are depth-ordered -> CUB radix tie-break semantics, exactly)
-    sorted_tile, sorted_g = jax.lax.sort(
-        (tile_flat, g_flat), num_keys=1, is_stable=True
+    # 4. THE sort: UNSTABLE 2-key (tile, depth-rank). Key count doesn't
+    # change lax.sort's cost on this chip (microbench_sort: i64 == 2-key
+    # == 1-key per element) but is_stable=True does (~2x on real binning
+    # data), and (tile, rank) is already a strict total order per entry —
+    # same CUB radix (tile | depth-bits) semantics as before
+    # (rasterizer_impl.cu:300-308), no stability flag needed.
+    sorted_tile, _, sorted_g = jax.lax.sort(
+        (tile_flat, pos_flat, g_flat), num_keys=2
     )
     total = jnp.sum(area)
     overflow = overflow + jnp.maximum(total - kb, 0)
@@ -402,15 +412,16 @@ def blend_stream(
         interpret=interpret,
     )(order_g, starts, stream)
 
-    # order space -> tile space; uncovered tiles get acc=0, T=1
-    if n_grid < num_tiles:
-        base = jnp.zeros((num_tiles, c_out, p_out), jnp.float32)
-        base = base.at[:, c_out - 1, :].set(1.0)
-        out_t = base.at[order_g].set(out_o)
-    else:
-        out_t = jnp.zeros(
-            (num_tiles, c_out, p_out), jnp.float32
-        ).at[order_g].set(out_o)
+    # order space -> tile space via the INVERSE permutation: a gather of
+    # num_tiles blocks instead of a scatter (XLA scatters at this size
+    # cost ~10 ms; the 16K-element index scatter building `inv` is
+    # negligible). Uncovered tiles read the sentinel block (acc=0, T=1).
+    sentinel = jnp.zeros((1, c_out, p_out), jnp.float32)
+    sentinel = sentinel.at[:, c_out - 1, :].set(1.0)
+    inv = jnp.full((num_tiles,), n_grid, jnp.int32).at[order_g].set(
+        jnp.arange(n_grid, dtype=jnp.int32)
+    )
+    out_t = jnp.concatenate([out_o, sentinel], axis=0)[inv]
     t_run = out_t[:, c_out - 1, :]  # (num_tiles, P)
     acc = out_t[:, :channels, :].transpose(0, 2, 1)  # (num_tiles, P, C)
     out = acc + t_run[..., None] * bg[None, None, :]

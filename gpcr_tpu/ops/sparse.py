@@ -538,6 +538,7 @@ def _gather_conv_blocked(
     stride_num: int = 1,
     stride_den: int = 1,
     block_lo: T.Optional[jnp.ndarray] = None,
+    unroll: T.Optional[bool] = None,
 ):
     """Core of the blocked-window gather conv: output rows processed in
     blocks of ``block``, each gathering from a table slice around the
@@ -560,9 +561,27 @@ def _gather_conv_blocked(
     capp, c = feats_pad.shape
     table = capp - 1
     n_out, kk = kmap.shape
+    if unroll is None:
+        # default: unroll small graphs (small offset count or small row
+        # count); big-level 27-offset graphs keep the fori to bound
+        # compile time
+        unroll = kk <= 9 or n_out <= 262_144
 
-    def accumulate(rows_of, km_rows, nrows):
+    def accumulate(rows_of, km_rows, nrows, unroll):
         accs = tuple(jnp.zeros((nrows, co), jnp.float32) for co in couts)
+        if unroll:
+            # static python loop over the K³ offsets: XLA can overlap the
+            # independent per-offset gathers, which a fori_loop serializes
+            # (small levels measured well below the large-level gather
+            # rate under the fori — see scripts/profile_learned.py).
+            # Only for small tables: unrolling also multiplies compile
+            # time, which the big-level graphs can't afford.
+            for i in range(kk):
+                g = rows_of(km_rows, i)
+                accs = tuple(
+                    acc + fn(g, i) for acc, fn in zip(accs, dot_fns)
+                )
+            return accs
 
         def body(i, accs):
             g = rows_of(km_rows, i)
@@ -577,7 +596,7 @@ def _gather_conv_blocked(
         def rows(km, i):
             return feats_pad[km[:, i]]
 
-        return accumulate(rows, kmap, n_out)
+        return accumulate(rows, kmap, n_out, unroll)
 
     nb = -(-n_out // block)
     npad = nb * block
@@ -606,7 +625,7 @@ def _gather_conv_blocked(
             )
             return win[local]
 
-        blk = accumulate(rows, km_blk, block)
+        blk = accumulate(rows, km_blk, block, unroll)
         return tuple(
             jax.lax.dynamic_update_slice(o, nb_o, (b * block, 0))
             for o, nb_o in zip(outs, blk)

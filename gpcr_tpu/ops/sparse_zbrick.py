@@ -1,0 +1,421 @@
+"""Z-brick sparse convolution: dense (1,1,Z) z-runs over the voxel engine.
+
+The direct 27-offset gather conv (ops/sparse.py) is INDEX-rate bound:
+~460M gather-rows/s at the 800K-point L0 shape -> ~46 ms per conv
+(scripts/profile_learned.py), and the per-row cost is fixed, so narrow
+C=32 rows waste most of each access. This module replaces the voxel
+gather with a layout XLA can move in BULK:
+
+- Voxels are grouped into (1, 1, Z) bricks at fixed z boundaries
+  (zb = z // Z). Surface clouds fill such bricks ~30-46% (Z=4, measured
+  on the bench cloud at L0/L1) — dense enough that the waste FLOPs are
+  cheap on the MXU, sparse enough that brick count is ~3-4x below the
+  voxel count.
+- Features live as (B, Z, C) with zeros in empty slots. Missing
+  neighbors contribute w @ 0 = 0, so dense-with-zeros is EXACT for the
+  linear conv; outputs are re-masked to occupied slots afterwards
+  (MinkowskiEngine computes outputs only at occupied voxels —
+  models/model_v2.py:21-65 semantics are preserved bit-for-bit in f32).
+- A 3³ conv needs, per output brick, the z rows [-1 .. Z] of the 9
+  (dx, dy) neighbor columns. Those are served from a Z-DILATED ext
+  table: the brick set dilated by +-1 in zb (ghost bricks carry only
+  the boundary rows of their z-neighbors — without them a (dx, dy)
+  fetch would silently miss boundary voxels whenever the neighbor
+  column's own zb brick is empty; ~2.45x more table rows on the bench
+  cloud, same 9 gathers). In sorted brick order the z-adjacent entry is
+  the IMMEDIATE neighbor row whenever it exists, so the ext assembly is
+  pure static shifts + masks — no extra gathers.
+- Per conv: ONE near-monotone wide gather lifts real-brick features
+  into dilated space (fused with ext assembly), then 9 wide (Z+2)·C-row
+  gathers fetch neighbor columns: ~10 B_real + D gather rows per conv
+  instead of 27 N (~3x fewer, each 4-6x wider).
+- The z taps are STATIC strided slices of the gathered (blk, Z+2, C)
+  buffer feeding MXU matmuls — no per-voxel dz indices at all.
+
+Weight layout is identical to ops/sparse.conv: (27, Cin, Cout) in the ME
+HYPER_CUBE order (x fastest; sparse._offsets_cube), so checkpoints and
+the torch converter are untouched.
+"""
+
+from __future__ import annotations
+
+import typing as T
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from . import sparse
+from .sparse import GRID_BITS, GRID_MAX, SENTINEL
+
+Z_DEFAULT = 4
+
+
+@flax.struct.dataclass
+class BrickPlan:
+    """Geometry-only brick structure for ONE SparseGrid level.
+
+    Built once per coordinate set (plan time) and shared by every conv at
+    the level. Real bricks (outputs) index [0, Bcap); the z-dilated ext
+    space indexes [0, Dcap); each table's capacity row is the miss/zero
+    row.
+    """
+
+    bcodes: jnp.ndarray  # (Bcap,) i32 real brick codes (vox code & ~(Z-1))
+    nb: jnp.ndarray  # () i32 valid real brick count
+    brick_src: jnp.ndarray  # (Bcap, Z) i32 voxel row per slot; Nmax = empty
+    vox_slot: jnp.ndarray  # (Nmax,) i32 flat real slot (bi*Z + r) per voxel
+    occ: jnp.ndarray  # (Bcap, Z) f32 occupancy mask
+    dcodes: jnp.ndarray  # (Dcap,) i32 dilated brick codes, sorted
+    nd: jnp.ndarray  # () i32 valid dilated count
+    d2r: jnp.ndarray  # (Dcap,) i32 real index of dilated brick; Bcap = ghost
+    r2d: jnp.ndarray  # (Bcap,) i32 dilated index of real brick (always hits)
+    zdn_ok: jnp.ndarray  # (Dcap,) f32 1.0 iff dcodes[j-1] == dcodes[j] - Z
+    zup_ok: jnp.ndarray  # (Dcap,) f32 1.0 iff dcodes[j+1] == dcodes[j] + Z
+    bkmap9: jnp.ndarray  # (Bcap, 9) i32 (dx,dy) neighbor in DILATED space
+    z: int = flax.struct.field(pytree_node=False, default=Z_DEFAULT)
+
+    @property
+    def capacity(self) -> int:
+        return self.bcodes.shape[0]
+
+    @property
+    def dcapacity(self) -> int:
+        return self.dcodes.shape[0]
+
+
+def plan_brick_capacities(coords_np, z: int = Z_DEFAULT, levels: int = 2,
+                          margin: float = 1.05, bucket: int = 65536):
+    """Host-side (real, dilated) brick-count planning per level."""
+    import numpy as np
+
+    c = np.asarray(coords_np)
+    c = np.clip(np.round(c), 0, GRID_MAX - 1).astype(np.int64)
+    codes = np.unique(
+        (c[:, 0] << (2 * GRID_BITS)) | (c[:, 1] << GRID_BITS) | c[:, 2]
+    )
+    fmask = ((GRID_MAX // 2 - 1) << (2 * GRID_BITS)) | (
+        (GRID_MAX // 2 - 1) << GRID_BITS
+    ) | (GRID_MAX // 2 - 1)
+
+    def cap(n):
+        return int(-(-int(n * margin) // bucket)) * bucket
+
+    caps = []
+    for lvl in range(levels):
+        bk = np.unique(codes & ~np.int64(z - 1))
+        dil = np.unique(np.concatenate([bk, bk - z, bk + z]))
+        caps.append((cap(len(bk)), cap(len(dil))))
+        codes = np.unique((codes >> 1) & fmask)
+    return tuple(caps)
+
+
+def build_brick_plan(grid: sparse.SparseGrid, capacity: int,
+                     dilated_capacity: T.Optional[int] = None,
+                     z: int = Z_DEFAULT) -> BrickPlan:
+    """Brick structure for one level's sorted voxel codes.
+
+    Costs one pass of vector ops + two sorts over ~3 rows per brick +
+    one lookup_merge over ~10 queries per BRICK (vs 27 per voxel for the
+    direct kernel map), so plan time shrinks alongside conv time.
+    """
+    assert z & (z - 1) == 0, "Z must be a power of two"
+    codes = grid.codes  # (Nmax,) sorted, SENTINEL padding
+    nmax = codes.shape[0]
+    bcap = capacity
+    dcap = dilated_capacity or 3 * capacity
+
+    bkey = jnp.where(codes == SENTINEL, SENTINEL, codes & ~(z - 1))
+    isnew = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32),
+         (bkey[1:] != bkey[:-1]).astype(jnp.int32)]
+    )
+    isnew = jnp.where(bkey == SENTINEL, 0, isnew)
+    bi = jnp.cumsum(isnew) - 1  # brick id per voxel
+    nb = jnp.maximum(jnp.max(jnp.where(bkey == SENTINEL, -1, bi)) + 1, 0)
+    bi_c = jnp.clip(bi, 0, bcap - 1)
+    r = codes & (z - 1)
+    valid_vox = (codes != SENTINEL) & (bi < bcap)
+
+    # real brick codes: every voxel writes its brick key to slot bi
+    write_b = jnp.where(valid_vox, bi_c, bcap)
+    bcodes = jnp.full((bcap + 1,), SENTINEL, jnp.int32)
+    bcodes = bcodes.at[write_b].set(bkey)[:bcap]
+
+    # slot -> voxel row (element scatter; empty slots stay at nmax)
+    flat = jnp.where(valid_vox, bi_c * z + r, bcap * z)
+    brick_src = jnp.full((bcap * z + 1,), nmax, jnp.int32)
+    brick_src = brick_src.at[flat].set(
+        jnp.arange(nmax, dtype=jnp.int32)
+    )[: bcap * z].reshape(bcap, z)
+    vox_slot = jnp.where(valid_vox, bi_c * z + r, bcap * z)
+    occ = (brick_src < nmax).astype(jnp.float32)
+
+    # ---- z-dilated brick set: real u (real +- Z) ------------------------
+    bvalid = bcodes != SENTINEL
+    zbs = bcodes & (GRID_MAX - 1)
+    cand = jnp.concatenate([
+        bcodes,
+        jnp.where(bvalid & (zbs >= z), bcodes - z, SENTINEL),
+        jnp.where(bvalid & (zbs + z < GRID_MAX), bcodes + z, SENTINEL),
+    ])
+    scand = jnp.sort(cand)
+    dnew = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32),
+         (scand[1:] != scand[:-1]).astype(jnp.int32)]
+    )
+    dnew = jnp.where(scand == SENTINEL, 0, dnew)
+    di = jnp.cumsum(dnew) - 1
+    nd = jnp.maximum(jnp.max(jnp.where(scand == SENTINEL, -1, di)) + 1, 0)
+    dvalid = (scand != SENTINEL) & (di < dcap)
+    dwrite = jnp.where(dvalid, jnp.clip(di, 0, dcap - 1), dcap)
+    dcodes = jnp.full((dcap + 1,), SENTINEL, jnp.int32)
+    dcodes = dcodes.at[dwrite].set(scand)[:dcap]
+
+    # z-adjacency masks: in sorted order the z-neighbor, when present,
+    # is the IMMEDIATE neighbor entry (no code fits between (x,y,zb)
+    # and (x,y,zb +- 1))
+    zdn_ok = jnp.concatenate(
+        [jnp.zeros((1,)), (dcodes[:-1] == dcodes[1:] - z).astype(
+            jnp.float32)]
+    ) * (dcodes != SENTINEL)
+    zup_ok = jnp.concatenate(
+        [(dcodes[1:] == dcodes[:-1] + z).astype(jnp.float32),
+         jnp.zeros((1,))]
+    ) * (dcodes != SENTINEL)
+
+    # ---- lookups --------------------------------------------------------
+    # one merge serves r2d + the 9 (dx,dy) columns (queries into dcodes);
+    # a second small merge serves d2r (queries into bcodes)
+    xs = bcodes >> (2 * GRID_BITS)
+    ys = (bcodes >> GRID_BITS) & (GRID_MAX - 1)
+    qs = [jnp.where(bvalid, bcodes, SENTINEL)]  # r2d (center column)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            nx, ny = xs + dx, ys + dy
+            ok = bvalid & (nx >= 0) & (nx < GRID_MAX) & (ny >= 0) & (
+                ny < GRID_MAX)
+            qs.append(jnp.where(
+                ok, bcodes + (dx << (2 * GRID_BITS)) + (dy << GRID_BITS),
+                SENTINEL))
+    q = jnp.stack(qs, axis=1)  # (Bcap, 9)
+    idx, _ = sparse.lookup_merge(dcodes, nd, q.reshape(-1), max_run=16)
+    idx = idx.reshape(bcap, 9)
+    r2d = idx[:, 0]
+    # bkmap9 in the ME (dx fastest, dy next) 9-column order incl. center
+    bk_cols = [None] * 9
+    k = 1
+    for j, (dy, dx) in enumerate(
+            [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]):
+        if dx == 0 and dy == 0:
+            bk_cols[j] = r2d
+        else:
+            bk_cols[j] = idx[:, k]
+            k += 1
+    bkmap9 = jnp.stack(bk_cols, axis=1)
+
+    d2r, _ = sparse.lookup_merge(bcodes, nb, dcodes, max_run=4)
+
+    return BrickPlan(
+        bcodes=bcodes, nb=nb.astype(jnp.int32), brick_src=brick_src,
+        vox_slot=vox_slot, occ=occ, dcodes=dcodes, nd=nd.astype(jnp.int32),
+        d2r=d2r, r2d=r2d, zdn_ok=zdn_ok, zup_ok=zup_ok, bkmap9=bkmap9, z=z,
+    )
+
+
+def brick_max_delta(plan: BrickPlan) -> jnp.ndarray:
+    """Largest |dilated neighbor index - own dilated index| over the
+    9-column map — the blocked-window gather must cover this (same
+    contract as sparse.kmap_max_delta)."""
+    dcap = plan.dcapacity
+    own = plan.r2d[:, None]
+    hit = (plan.bkmap9 < dcap) & (own < dcap)
+    return jnp.max(jnp.where(hit, jnp.abs(plan.bkmap9 - own), 0))
+
+
+def to_bricks(feats_vox: jnp.ndarray, plan: BrickPlan) -> jnp.ndarray:
+    """(Nmax, C) voxel features -> (Bcap, Z, C) real-brick layout."""
+    c = feats_vox.shape[1]
+    fpad = jnp.concatenate(
+        [feats_vox, jnp.zeros((1, c), feats_vox.dtype)], axis=0)
+    z = plan.z
+    return fpad[plan.brick_src.reshape(-1)].reshape(plan.capacity, z, c)
+
+
+def to_voxels(feats_b: jnp.ndarray, plan: BrickPlan,
+              nmax: int) -> jnp.ndarray:
+    """(Bcap, Z, C) brick features -> (Nmax, C) voxel layout."""
+    bcap, z, c = feats_b.shape
+    flat = jnp.concatenate(
+        [feats_b.reshape(bcap * z, c), jnp.zeros((1, c), feats_b.dtype)],
+        axis=0)
+    return flat[jnp.clip(plan.vox_slot[:nmax], 0, bcap * z)]
+
+
+def _to_dilated(feats_b: jnp.ndarray, plan: BrickPlan,
+                block: T.Optional[int], window: int) -> jnp.ndarray:
+    """Lift (Bcap, Z, C) real features to (Dcap, Z*C) dilated rows
+    (ghost bricks zero). d2r is monotone, so the blocked-window gather's
+    per-block window (anchored by block_lo = d2r at block starts)
+    applies even though real/dilated densities differ."""
+    bcap, z, c = feats_b.shape
+    flat = jnp.concatenate(
+        [feats_b.reshape(bcap, z * c),
+         jnp.zeros((1, z * c), feats_b.dtype)], axis=0)
+    dcap = plan.dcapacity
+    if block is None or dcap <= block:
+        return flat[plan.d2r]
+    nbk = -(-dcap // block)
+    # d2r at GHOST rows is the miss sentinel (bcap) — anchor each block
+    # at the last REAL index at-or-before its start (monotone cummax)
+    d2r_fill = jax.lax.cummax(
+        jnp.where(plan.d2r < bcap, plan.d2r, -1), axis=0)
+    block_lo = jnp.clip(
+        d2r_fill[jnp.minimum(jnp.arange(nbk) * block, dcap - 1)], 0, bcap)
+    # a dilated block of `block` rows maps to ~block*bcap/dcap real rows;
+    # the stride ratio sizes the static window slice accordingly (the
+    # `window` margin absorbs local density drift around the average)
+    (out,) = sparse._gather_conv_blocked(
+        flat, plan.d2r[:, None], [lambda g, i: g], [z * c],
+        block, window, stride_num=bcap, stride_den=dcap,
+        block_lo=block_lo, unroll=True,
+    )
+    return out
+
+
+def _build_ext(feats_d: jnp.ndarray, plan: BrickPlan) -> jnp.ndarray:
+    """(Dcap, Z*C) dilated rows -> (Dcap, (Z+2)*C) z-extended rows:
+    [below_topmost | own Z rows | above_bottom]. Pure shifts + masks —
+    the z-adjacent brick, when present, is the adjacent sorted entry."""
+    dcap = feats_d.shape[0]
+    zc = feats_d.shape[1]
+    z = plan.z
+    c = zc // z
+    top = feats_d[:, (z - 1) * c:]  # (Dcap, C) topmost z row
+    bot = feats_d[:, :c]  # bottom z row
+    below = jnp.concatenate(
+        [jnp.zeros((1, c), feats_d.dtype), top[:-1]], axis=0
+    ) * plan.zdn_ok[:, None].astype(feats_d.dtype)
+    above = jnp.concatenate(
+        [bot[1:], jnp.zeros((1, c), feats_d.dtype)], axis=0
+    ) * plan.zup_ok[:, None].astype(feats_d.dtype)
+    return jnp.concatenate([below, feats_d, above], axis=1)
+
+
+def _me_widx(dx: int, dy: int, dz: int) -> int:
+    """Index of offset (dx,dy,dz) in the ME HYPER_CUBE (x-fastest) order
+    used by sparse._offsets_cube / the checkpoint converter."""
+    return (dz + 1) * 9 + (dy + 1) * 3 + (dx + 1)
+
+
+def brick_conv_multi(
+    feats_list: T.Sequence[jnp.ndarray],  # (Bcap, Z, C_i) sharing the plan
+    weights: T.Sequence[jnp.ndarray],  # (27, C_i, Cout_i)
+    biases: T.Sequence[T.Optional[jnp.ndarray]],
+    plan: BrickPlan,
+    compute_dtype=None,
+    block: T.Optional[int] = sparse.GATHER_BLOCK,
+    window: int = sparse.GATHER_WINDOW,
+) -> T.List[jnp.ndarray]:
+    """Several 3³ stride-1 convs over the same brick plan with ONE wide
+    gather per (dx, dy) column (channel-packed, like sparse.conv_multi).
+
+    Returns [(Bcap, Z, Cout_i)] float32, masked to occupied slots.
+    """
+    z = plan.z
+    bcap = plan.capacity
+    dcap = plan.dcapacity
+    packed = jnp.concatenate(list(feats_list), axis=-1)
+    if compute_dtype is not None:
+        packed = packed.astype(compute_dtype)
+    ws = [w if compute_dtype is None else w.astype(compute_dtype)
+          for w in weights]
+    splits = [f.shape[2] for f in feats_list]
+    ctot = packed.shape[2]
+
+    feats_d = _to_dilated(packed, plan, block, window)
+    ext = _build_ext(feats_d, plan)  # (Dcap, (Z+2)*ctot)
+    ext_pad = jnp.concatenate(
+        [ext, jnp.zeros((1, ext.shape[1]), ext.dtype)], axis=0)
+
+    offs9 = [(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+
+    def make_dot(o):
+        dx, dy = offs9[o]
+
+        def dot(g, _i):
+            nbr = g.reshape(g.shape[0], z + 2, ctot)
+            outs = []
+            off = 0
+            for w, ci in zip(ws, splits):
+                acc = None
+                for dz in (-1, 0, 1):
+                    tap = jax.lax.slice(
+                        nbr, (0, 1 + dz, off), (g.shape[0], 1 + dz + z,
+                                                off + ci))
+                    t = jax.lax.dot_general(
+                        tap, w[_me_widx(dx, dy, dz)],
+                        (((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    acc = t if acc is None else acc + t
+                outs.append(acc.reshape(g.shape[0], z * w.shape[2]))
+                off += ci
+            return jnp.concatenate(outs, axis=-1)
+
+        return dot
+
+    couts = [w.shape[2] for w in ws]
+    cout_tot = sum(couts)
+
+    # one accumulate carrying every conv's channels in a single output:
+    # each offset's contribution concatenates [conv0 | conv1 | ...]
+    # blocks along the channel axis. The per-offset python dispatch
+    # requires the unrolled offset loop (i must be static).
+    dot_fns = [make_dot(o) for o in range(9)]
+
+    def combined(g, i):
+        return dot_fns[i](g, i)
+
+    if block is not None and dcap > block:
+        nbk = -(-bcap // block)
+        block_lo = plan.r2d[
+            jnp.minimum(jnp.arange(nbk) * block, bcap - 1)]
+        block_lo = jnp.clip(block_lo, 0, dcap)
+    else:
+        block_lo = None
+    # a block of `block` REAL output bricks spans ~block*dcap/bcap rows
+    # of the dilated ext table; stride-scale the static window so the
+    # slice covers it (plus the `window` margin for neighbor deltas and
+    # density drift — callers validate brick_max_delta <= window)
+    (out_flat,) = sparse._gather_conv_blocked(
+        ext_pad, plan.bkmap9, [combined], [z * cout_tot],
+        block or bcap, window, stride_num=dcap, stride_den=bcap,
+        block_lo=block_lo, unroll=True,
+    )
+    out_flat = out_flat.reshape(bcap, -1)
+    result = []
+    off = 0
+    for j, (w, co) in enumerate(zip(ws, couts)):
+        blockj = out_flat[:, off: off + z * co].reshape(bcap, z, co)
+        if biases[j] is not None:
+            blockj = blockj + biases[j]
+        result.append(blockj * plan.occ[:, :, None])
+        off += z * co
+    return result
+
+
+def brick_conv(
+    feats_b: jnp.ndarray,  # (Bcap, Z, Cin)
+    weight: jnp.ndarray,  # (27, Cin, Cout)
+    bias: T.Optional[jnp.ndarray],
+    plan: BrickPlan,
+    compute_dtype=None,
+    block: T.Optional[int] = sparse.GATHER_BLOCK,
+    window: int = sparse.GATHER_WINDOW,
+) -> jnp.ndarray:
+    """3³ stride-1 sparse conv in brick layout. Exact vs sparse.conv."""
+    (out,) = brick_conv_multi(
+        [feats_b], [weight], [bias], plan, compute_dtype, block, window)
+    return out

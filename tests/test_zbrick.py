@@ -1,0 +1,115 @@
+"""Parity of the z-brick conv engine vs the direct voxel gather conv.
+
+The brick engine (ops/sparse_zbrick.py) must reproduce sparse.conv /
+conv_multi bit-for-bit in f32 on arbitrary sparse voxel sets, including
+grid borders and z-brick boundary crossings.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from gpcr_tpu.ops import sparse, sparse_zbrick as zb
+
+
+def make_grid(rng, n, span=24, base=100, cap=None, c=6):
+    coords = rng.randint(base, base + span, size=(n, 3)).astype(np.float32)
+    feats = rng.randn(n, c).astype(np.float32)
+    g = sparse.quantize_average(
+        jnp.asarray(coords), jnp.asarray(feats), capacity=cap or n)
+    return g
+
+
+@pytest.mark.parametrize("z", [4, 8])
+def test_brick_conv_matches_voxel_conv(z):
+    rng = np.random.RandomState(0)
+    g = make_grid(rng, 600, span=20, c=6)
+    kmap = sparse.build_kernel_map(g, 3)
+    w = jnp.asarray(rng.randn(27, 6, 5), jnp.float32) * 0.3
+    b = jnp.asarray(rng.randn(5), jnp.float32)
+    ref = sparse.conv(g, kmap, w, b, block=None)
+
+    plan = zb.build_brick_plan(g, capacity=1024, z=z)
+    assert int(plan.nb) <= 1024
+    fb = zb.to_bricks(g.feats, plan)
+    ob = zb.brick_conv(fb, w, b, plan, block=None)
+    got = zb.to_voxels(ob, plan, g.capacity) * g.valid[:, None]
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_brick_conv_grid_border():
+    """Voxels touching coordinate 0 / GRID_MAX-1 and z-brick edges."""
+    rng = np.random.RandomState(1)
+    coords = np.concatenate([
+        rng.randint(0, 6, size=(200, 3)),
+        np.stack([rng.randint(1018, 1024, 200),
+                  rng.randint(0, 5, 200),
+                  rng.randint(1018, 1024, 200)], axis=1),
+    ]).astype(np.float32)
+    feats = rng.randn(len(coords), 4).astype(np.float32)
+    g = sparse.quantize_average(
+        jnp.asarray(coords), jnp.asarray(feats), capacity=512)
+    kmap = sparse.build_kernel_map(g, 3)
+    w = jnp.asarray(rng.randn(27, 4, 4), jnp.float32) * 0.3
+    ref = sparse.conv(g, kmap, w, None, block=None)
+
+    plan = zb.build_brick_plan(g, capacity=512, z=4)
+    fb = zb.to_bricks(g.feats, plan)
+    got = zb.to_voxels(
+        zb.brick_conv(fb, w, None, plan, block=None), plan, g.capacity
+    ) * g.valid[:, None]
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_brick_conv_multi_channel_packing():
+    rng = np.random.RandomState(2)
+    g = make_grid(rng, 500, span=16, c=8)
+    kmap = sparse.build_kernel_map(g, 3)
+    f2 = jnp.asarray(rng.randn(g.capacity, 3), jnp.float32) * g.valid[:, None]
+    w1 = jnp.asarray(rng.randn(27, 8, 4), jnp.float32) * 0.3
+    w2 = jnp.asarray(rng.randn(27, 3, 6), jnp.float32) * 0.3
+    b1 = jnp.asarray(rng.randn(4), jnp.float32)
+    r1, r2 = sparse.conv_multi(
+        g, kmap, [g.feats, f2], [w1, w2], [b1, None], block=None)
+
+    plan = zb.build_brick_plan(g, capacity=1024, z=4)
+    fb1 = zb.to_bricks(g.feats, plan)
+    fb2 = zb.to_bricks(f2, plan)
+    o1, o2 = zb.brick_conv_multi(
+        [fb1, fb2], [w1, w2], [b1, None], plan, block=None)
+    g1 = zb.to_voxels(o1, plan, g.capacity) * g.valid[:, None]
+    g2 = zb.to_voxels(o2, plan, g.capacity) * g.valid[:, None]
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(r1),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(r2),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_blocked_window_path_matches_global():
+    """The blocked-window gather variant must equal the global path."""
+    rng = np.random.RandomState(3)
+    g = make_grid(rng, 2000, span=40, c=4, cap=2048)
+    w = jnp.asarray(rng.randn(27, 4, 4), jnp.float32) * 0.3
+    plan = zb.build_brick_plan(g, capacity=2048, z=4)
+    md = int(zb.brick_max_delta(plan))
+    fb = zb.to_bricks(g.feats, plan)
+    ref = zb.brick_conv(fb, w, None, plan, block=None)
+    got = zb.brick_conv(fb, w, None, plan, block=256, window=max(md, 64))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_roundtrip_layout():
+    rng = np.random.RandomState(4)
+    g = make_grid(rng, 300, span=12, c=7)
+    plan = zb.build_brick_plan(g, capacity=512, z=4)
+    fb = zb.to_bricks(g.feats, plan)
+    back = zb.to_voxels(fb, plan, g.capacity)
+    np.testing.assert_allclose(
+        np.asarray(back) * np.asarray(g.valid)[:, None],
+        np.asarray(g.feats), rtol=0, atol=0)
+    # occupancy count equals valid voxel count
+    assert int(plan.occ.sum()) == int(g.num)
