@@ -101,7 +101,8 @@ class PCEncoder:
     """(model_v2.py:238-375)"""
 
     def __init__(self, info: T.Union[dict, PCMLInfo], compute_dtype=None,
-                 conv_block: T.Optional[int] = sparse.GATHER_BLOCK):
+                 conv_block: T.Optional[int] = sparse.GATHER_BLOCK,
+                 brick_levels: T.Sequence[int] = (0, 1)):
         self.info = info if isinstance(info, PCMLInfo) else PCMLInfo.from_dict(info)
         if self.info.model_type != "unet":
             raise NotImplementedError(
@@ -109,13 +110,18 @@ class PCEncoder:
             )
         self.unet = SparseUNet(self.info.channels, self.info.feat_dim,
                                compute_dtype=compute_dtype,
-                               conv_block=conv_block)
+                               conv_block=conv_block,
+                               brick_levels=brick_levels)
 
     def init(self, key):
         return {"color_encoder": self.unet.init(key)}
 
-    def build_plan(self, grid: sparse.SparseGrid, level_capacity=None):
-        return self.unet.build_plan(grid, level_capacity)
+    def build_plan(self, grid: sparse.SparseGrid, level_capacity=None,
+                   brick_capacity=None):
+        """``brick_capacity``: {level: (bcap, dcap)} enables the z-brick
+        conv engine at those levels (see SparseUNet.build_plan); without
+        it every level uses the direct voxel-gather conv."""
+        return self.unet.build_plan(grid, level_capacity, brick_capacity)
 
     def apply(self, params, grid: sparse.SparseGrid, plan) -> SplatParams:
         """grid.feats layout matches the reference input assembly: the LAST

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import sparse
+from ..ops import sparse_zbrick as zbrick
 
 
 def _init_conv(key, kernel_volume: int, cin: int, cout: int):
@@ -93,6 +94,33 @@ class InceptionResNet:
         out1 = c1(params["conv1_2"], _relu(o11), grid.valid)
         return jnp.concatenate([out0, out1], axis=-1) + x
 
+    def apply_brick(self, params, feats_b, bplan):
+        """Same block on (Bcap, Z, C) z-brick features (exact parity —
+        the 1x1 convs are plain occ-masked matmuls, the 3^3 convs run on
+        the brick engine with the shared channel-packed gather)."""
+        cdt = self.compute_dtype
+
+        def c1(p, fb):
+            k = p["kernel"][0] if cdt is None else p["kernel"][0].astype(cdt)
+            f = fb if cdt is None else fb.astype(cdt)
+            out = jnp.dot(f, k, preferred_element_type=jnp.float32)
+            return (out + p["bias"]) * bplan.occ[:, :, None]
+
+        bblock = None if self.conv_block is None else "auto"
+        h1 = _relu(c1(params["conv1_0"], feats_b))
+        o00, o11 = zbrick.brick_conv_multi(
+            [feats_b, h1],
+            [params["conv0_0"]["kernel"], params["conv1_1"]["kernel"]],
+            [params["conv0_0"]["bias"], params["conv1_1"]["bias"]],
+            bplan, compute_dtype=cdt, block=bblock,
+        )
+        out0 = zbrick.brick_conv(
+            _relu(o00), params["conv0_1"]["kernel"],
+            params["conv0_1"]["bias"], bplan, compute_dtype=cdt,
+            block=bblock)
+        out1 = c1(params["conv1_2"], _relu(o11))
+        return jnp.concatenate([out0, out1], axis=-1) + feats_b
+
 
 class SparseUNet:
     """3-level sparse U-Net (model_v2.py:67-226)."""
@@ -100,11 +128,17 @@ class SparseUNet:
     def __init__(self, channels: T.Sequence[int] = (1, 16, 32, 64, 32, 8),
                  feat_dim: int = 32, block_layers: int = 3,
                  compute_dtype=None,
-                 conv_block: T.Optional[int] = sparse.GATHER_BLOCK):
+                 conv_block: T.Optional[int] = sparse.GATHER_BLOCK,
+                 brick_levels: T.Sequence[int] = ()):
         self.channels = list(channels)
         self.feat_dim = feat_dim
         self.block_layers = block_layers
         self.compute_dtype = compute_dtype
+        # levels whose stride-1 3^3 convs run on the z-brick engine
+        # (ops/sparse_zbrick.py) when build_plan was given brick
+        # capacities for them; the finest levels carry most of the conv
+        # cost and fill (1,1,Z) bricks well
+        self.brick_levels = tuple(brick_levels)
         # blocked-gather window size for every k3s1 conv; None = global
         # gathers (exact for any coordinate distribution — trainers whose
         # plans are built inside jit and therefore can't host-check
@@ -149,10 +183,16 @@ class SparseUNet:
     # ---- plan: geometry-only precomputation --------------------------------
 
     def build_plan(self, grid: sparse.SparseGrid,
-                   level_capacity: T.Optional[T.Sequence[int]] = None):
+                   level_capacity: T.Optional[T.Sequence[int]] = None,
+                   brick_capacity: T.Optional[dict] = None):
         """Precompute the coordinate hierarchy + gather tables for one input
         coordinate set. Reused across forward passes on the same cloud and
-        shared by all convs (the ME coordinate-manager equivalent)."""
+        shared by all convs (the ME coordinate-manager equivalent).
+
+        ``brick_capacity``: {level: (bcap, dcap)} (host-planned via
+        zbrick.plan_brick_capacities); brick plans are built for
+        ``self.brick_levels`` levels present in it, and ``apply`` runs
+        those levels' 3^3 convs on the z-brick engine."""
         if level_capacity is None:
             n = grid.capacity
             level_capacity = [n, n, max(n // 2, 1), max(n // 4, 1)]
@@ -171,87 +211,131 @@ class SparseUNet:
         # shape (scripts/microbench_conv9.py: 148 vs 69 ms — the per-conv
         # augment scatter, 3C-wide rows, and the 2.3x-bigger gather table
         # eat the index savings), so the 27-offset kernel map stays.
-        kmaps = [sparse.build_kernel_map(g, 3) for g in grids]
+        bricks = {}
+        if brick_capacity:
+            for lvl in self.brick_levels:
+                if lvl in brick_capacity:
+                    bcap, dcap = brick_capacity[lvl]
+                    bricks[lvl] = zbrick.build_brick_plan(
+                        grids[lvl], capacity=bcap, dilated_capacity=dcap)
+        # kernel maps only for levels NOT served by the brick engine
+        kmaps = [None if lvl in bricks else sparse.build_kernel_map(g, 3)
+                 for lvl, g in enumerate(grids)]
         return {"grids": grids, "downs": downs, "kmaps": kmaps,
+                "bricks": bricks,
                 "overflow": [g.num > g.capacity for g in grids],
                 # blocked-gather safety: every conv's window (default
                 # 16384) must cover the largest neighbor-index distance;
                 # hosts check once per cloud (renderer.py does)
-                "max_delta": [sparse.kmap_max_delta(k) for k in kmaps]}
+                "max_delta": [
+                    sparse.kmap_max_delta(k) if k is not None
+                    else zbrick.brick_max_delta(bricks[lvl])
+                    for lvl, k in enumerate(kmaps)]}
 
     # ---- forward (model_v2.py:202-226) --------------------------------------
 
     def apply(self, params, grid: sparse.SparseGrid, plan) -> jnp.ndarray:
+        """Forward pass. Levels with a brick plan carry their features as
+        (Bcap, Z, C) z-bricks end-to-end within the level (one layout
+        conversion at each level entry/exit); other levels use the direct
+        voxel-gather conv. Both engines are exact, so any mix matches the
+        reference bit-for-bit in f32."""
         grids, downs, kmaps = plan["grids"], plan["downs"], plan["kmaps"]
+        bricks = plan.get("bricks", {})
 
         cdt = self.compute_dtype
 
-        def conv3x(p, g, kmap):
-            return sparse.conv(g, kmap, p["kernel"], p["bias"],
-                               compute_dtype=cdt, block=self.conv_block)
+        # ---- level-native feature helpers (voxel (N,C) or brick (B,Z,C))
+        def lv_in(feats_vox, lvl):
+            if lvl in bricks:
+                return zbrick.to_bricks(feats_vox, bricks[lvl])
+            return feats_vox
 
-        def down(p, g, lvl):
+        def lv_out(feats, lvl):
+            if lvl in bricks:
+                return zbrick.to_voxels(
+                    feats, bricks[lvl], grids[lvl].capacity)
+            return feats
+
+        def conv3x(p, feats, lvl):
+            if lvl in bricks:
+                return zbrick.brick_conv(
+                    feats, p["kernel"], p["bias"], bricks[lvl],
+                    compute_dtype=cdt,
+                    block=None if self.conv_block is None else "auto")
+            return sparse.conv(
+                grids[lvl].replace(feats=feats), kmaps[lvl], p["kernel"],
+                p["bias"], compute_dtype=cdt, block=self.conv_block)
+
+        def down(p, feats, lvl):
             parent_slot, octant = downs[lvl]
             return sparse.conv_down(
-                g, grids[lvl + 1], parent_slot, octant, p["kernel"], p["bias"],
+                grids[lvl].replace(feats=lv_out(feats, lvl)),
+                grids[lvl + 1], parent_slot, octant, p["kernel"], p["bias"],
                 compute_dtype=cdt,
             )
 
-        def up(p, g_coarse, lvl_fine):
+        def up(p, feats_coarse, lvl_coarse, lvl_fine):
             tgt = grids[lvl_fine]
+            g_coarse = grids[lvl_coarse].replace(
+                feats=lv_out(feats_coarse, lvl_coarse))
             return sparse.conv_up_generative(
                 g_coarse, tgt.codes, tgt.num, tgt.stride, p["kernel"],
                 p["bias"], compute_dtype=cdt,
             )
 
-        def run_blocks(bparams, g, kmap):
+        def run_blocks(bparams, feats, lvl):
             # identical-shape blocks run under one lax.scan with stacked
             # params: traces ONE block instead of block_layers of them
             # (the unrolled version costs minutes of XLA compile at 800K)
-            block = InceptionResNet(g.feats.shape[1], cdt, self.conv_block)
+            ch = feats.shape[-1]
+            block = InceptionResNet(ch, cdt, self.conv_block)
             stacked = jax.tree_util.tree_map(
                 lambda *xs: jnp.stack(xs),
                 *[bparams[str(i)] for i in range(self.block_layers)],
             )
 
-            def body(feats, p):
-                return block.apply(p, g.replace(feats=feats), kmap), None
+            if lvl in bricks:
+                def body(f, p):
+                    return block.apply_brick(p, f, bricks[lvl]), None
+            else:
+                g = grids[lvl]
 
-            feats, _ = jax.lax.scan(body, g.feats, stacked)
-            return g.replace(feats=feats)
+                def body(f, p):
+                    return block.apply(
+                        p, g.replace(feats=f), kmaps[lvl]), None
 
-        g0 = grid
-        out_x = _relu(conv3x(params["conv0"], g0, kmaps[0]))
-        g0x = g0.replace(feats=out_x)
+            feats, _ = jax.lax.scan(body, feats, stacked)
+            return feats
 
-        f1 = _relu(down(params["down0"], g0x, 0))
-        g1 = grids[1].replace(feats=f1)
-        g1 = run_blocks(params["block0"], g1, kmaps[1])
+        f0 = lv_in(grid.feats, 0)
+        out_x = _relu(conv3x(params["conv0"], f0, 0))
 
-        h = _relu(conv3x(params["conv1"], g1, kmaps[1]))
-        f2 = _relu(down(params["down1"], g1.replace(feats=h), 1))
-        g2 = grids[2].replace(feats=f2)
-        g2 = run_blocks(params["block1"], g2, kmaps[2])
+        f1 = lv_in(_relu(down(params["down0"], out_x, 0)), 1)
+        f1 = run_blocks(params["block0"], f1, 1)
 
-        h = _relu(conv3x(params["conv2"], g2, kmaps[2]))
-        f3 = _relu(down(params["down2"], g2.replace(feats=h), 2))
-        g3 = grids[3].replace(feats=f3)
-        g3 = run_blocks(params["block2"], g3, kmaps[3])
-        g3 = g3.replace(feats=conv3x(params["conv3"], g3, kmaps[3]))
+        h = _relu(conv3x(params["conv1"], f1, 1))
+        f2 = lv_in(_relu(down(params["down1"], h, 1)), 2)
+        f2 = run_blocks(params["block1"], f2, 2)
 
-        u2 = _relu(up(params["up0"], g3, 2))
-        g2d = grids[2].replace(feats=jnp.concatenate([u2, g2.feats], axis=-1))
-        g2d = g2d.replace(feats=_relu(conv3x(params["conv_0"], g2d, kmaps[2])))
-        g2d = run_blocks(params["block_0"], g2d, kmaps[2])
+        h = _relu(conv3x(params["conv2"], f2, 2))
+        f3 = lv_in(_relu(down(params["down2"], h, 2)), 3)
+        f3 = run_blocks(params["block2"], f3, 3)
+        f3 = conv3x(params["conv3"], f3, 3)
 
-        u1 = _relu(up(params["up1"], g2d, 1))
-        g1d = grids[1].replace(feats=jnp.concatenate([u1, g1.feats], axis=-1))
-        g1d = g1d.replace(feats=_relu(conv3x(params["conv_1"], g1d, kmaps[1])))
-        g1d = run_blocks(params["block_1"], g1d, kmaps[1])
+        u2 = lv_in(_relu(up(params["up0"], f3, 3, 2)), 2)
+        f2d = jnp.concatenate([u2, f2], axis=-1)
+        f2d = _relu(conv3x(params["conv_0"], f2d, 2))
+        f2d = run_blocks(params["block_0"], f2d, 2)
 
-        u0 = _relu(up(params["up2"], g1d, 0))
-        g0d = grids[0].replace(feats=jnp.concatenate([u0, out_x], axis=-1))
-        g0d = g0d.replace(feats=_relu(conv3x(params["conv_2"], g0d, kmaps[0])))
-        g0d = run_blocks(params["block_2"], g0d, kmaps[0])
+        u1 = lv_in(_relu(up(params["up1"], f2d, 2, 1)), 1)
+        f1d = jnp.concatenate([u1, f1], axis=-1)
+        f1d = _relu(conv3x(params["conv_1"], f1d, 1))
+        f1d = run_blocks(params["block_1"], f1d, 1)
 
-        return conv3x(params["conv_3"], g0d, kmaps[0])
+        u0 = lv_in(_relu(up(params["up2"], f1d, 1, 0)), 0)
+        f0d = jnp.concatenate([u0, out_x], axis=-1)
+        f0d = _relu(conv3x(params["conv_2"], f0d, 0))
+        f0d = run_blocks(params["block_2"], f0d, 0)
+
+        return lv_out(conv3x(params["conv_3"], f0d, 0), 0)

@@ -146,32 +146,36 @@ def bin_sorted_stream(
     ty = rminy_s[None, :] + kdiv
     tx = rminx_s[None, :] + kmod
     dup_valid = valid_s & (k < area)
-    tile_flat = jnp.where(
+    tile_cn = jnp.where(
         dup_valid, ty * grid_x + tx, num_tiles
-    ).astype(jnp.int32).reshape(-1)
-    # depth rank of the owning gaussian — the explicit secondary key
-    pos_flat = jax.lax.broadcasted_iota(
-        jnp.int32, (cap, n), 1
-    ).reshape(-1)
-    g_flat = jnp.where(
+    ).astype(jnp.int32)
+    g_cn = jnp.where(
         dup_valid, gidx_s[None, :], n  # sentinel row index
-    ).reshape(-1)
+    )
+    # flatten GAUSSIAN-major (transpose is a cheap bulk op; computing the
+    # emit directly in (n, cap) costs ~5x more VPU time — cap of 128
+    # lanes): entries are then in (depth, rect-slot) order, exactly the
+    # reference's duplicateWithKeys emission order
+    tile_flat = tile_cn.T.reshape(-1)
+    g_flat = g_cn.T.reshape(-1)
 
-    # 4. THE sort: UNSTABLE 2-key (tile, depth-rank). Key count doesn't
-    # change lax.sort's cost on this chip (microbench_sort: i64 == 2-key
-    # == 1-key per element) but is_stable=True does (~2x on real binning
-    # data), and (tile, rank) is already a strict total order per entry —
-    # same CUB radix (tile | depth-bits) semantics as before
-    # (rasterizer_impl.cu:300-308), no stability flag needed.
-    sorted_tile, _, sorted_g = jax.lax.sort(
-        (tile_flat, pos_flat, g_flat), num_keys=2
+    # 4. THE sort: STABLE single-key i32 over depth-ordered input — the
+    # CUB stable-radix (tile | depth-bits) tie-break semantics, exactly
+    # (rasterizer_impl.cu:300-308). Two arrays: a third sort operand
+    # (e.g. an explicit depth-rank key) measured ~5x slower than the
+    # stable 2-array form (scripts/ablate_stream.py: 9.4 vs 1.9 ms).
+    sorted_tile, sorted_g = jax.lax.sort(
+        (tile_flat, g_flat), num_keys=1, is_stable=True
     )
     total = jnp.sum(area)
     overflow = overflow + jnp.maximum(total - kb, 0)
 
+    # method='sort' merges the 16K tile ids into the entry stream with
+    # one extra lax.sort instead of lowering a binary search (measured
+    # 9.0 -> 3.4 ms device at 1.8M entries, scripts/ablate_stream.py)
     starts = jnp.searchsorted(
         sorted_tile[:kb], jnp.arange(num_tiles + 1, dtype=jnp.int32),
-        side="left",
+        side="left", method="sort",
     ).astype(jnp.int32)
 
     # 5. stream gather in sorted-entry order straight from the original

@@ -50,6 +50,26 @@ from .sparse import GRID_BITS, GRID_MAX, SENTINEL
 
 Z_DEFAULT = 4
 
+# Blocked-window gather tuning for BRICK tables. Neighbor deltas in
+# dilated-brick index space are ~2x(bricks per x-slab) (~6K at the 800K
+# L0 shape) — far below the voxel engine's 16384-row window; and brick
+# rows are 4-6x WIDER than voxel rows, so the window slice must be sized
+# in BYTES: past ~60-70 MB (the gather-rate cliff, scripts/
+# microbench_cliff.py) gather throughput collapses 3-6x. ``block="auto"``
+# picks the largest block whose window slice stays inside the fast
+# region.
+BRICK_WINDOW = 8192
+_WIN_BYTES_TARGET = 48 << 20
+_WIN_ROWS_MAX = 131_072
+
+
+def _auto_block(row_bytes: int, window: int, num: int, den: int) -> int:
+    """Largest output-block size whose window slice (block*num/den +
+    2*window rows of ``row_bytes``) stays under the gather cliff."""
+    win_rows = min(_WIN_BYTES_TARGET // max(row_bytes, 1), _WIN_ROWS_MAX)
+    blk = max(win_rows - 2 * window, 4096) * den // num
+    return max(4096, (blk // 4096) * 4096)
+
 
 @flax.struct.dataclass
 class BrickPlan:
@@ -86,14 +106,32 @@ class BrickPlan:
 
 def plan_brick_capacities(coords_np, z: int = Z_DEFAULT, levels: int = 2,
                           margin: float = 1.05, bucket: int = 65536):
-    """Host-side (real, dilated) brick-count planning per level."""
+    """Host-side (real, dilated) brick-count planning per level.
+
+    sort+diff dedup throughout (np.unique re-sorts internally; the
+    chained-unique version cost ~9 s at 800K points, this one ~0.4 s).
+    """
     import numpy as np
 
+    def dedup_sorted(a):
+        if not len(a):
+            return a
+        keep = np.empty(len(a), bool)
+        keep[0] = True
+        np.not_equal(a[1:], a[:-1], out=keep[1:])
+        return a[keep]
+
+    def missing(sorted_ref, q):
+        """Count of q entries NOT present in sorted_ref (q sorted)."""
+        pos = np.searchsorted(sorted_ref, q)
+        pos_c = np.minimum(pos, len(sorted_ref) - 1)
+        return int(np.sum(sorted_ref[pos_c] != q))
+
     c = np.asarray(coords_np)
-    c = np.clip(np.round(c), 0, GRID_MAX - 1).astype(np.int64)
-    codes = np.unique(
+    c = np.clip(np.rint(c), 0, GRID_MAX - 1).astype(np.int64)
+    codes = dedup_sorted(np.sort(
         (c[:, 0] << (2 * GRID_BITS)) | (c[:, 1] << GRID_BITS) | c[:, 2]
-    )
+    ))
     fmask = ((GRID_MAX // 2 - 1) << (2 * GRID_BITS)) | (
         (GRID_MAX // 2 - 1) << GRID_BITS
     ) | (GRID_MAX // 2 - 1)
@@ -103,10 +141,20 @@ def plan_brick_capacities(coords_np, z: int = Z_DEFAULT, levels: int = 2,
 
     caps = []
     for lvl in range(levels):
-        bk = np.unique(codes & ~np.int64(z - 1))
-        dil = np.unique(np.concatenate([bk, bk - z, bk + z]))
-        caps.append((cap(len(bk)), cap(len(dil))))
-        codes = np.unique((codes >> 1) & fmask)
+        bk = dedup_sorted(codes & ~np.int64(z - 1))  # sorted order kept
+        # |bk u (bk-z) u (bk+z)| without sorting the 3x union (this
+        # host's numpy sorts are the bottleneck): bk+-z are sorted too,
+        # and (bk-z) n (bk+z) ghosts double-count only codes missing
+        # from bk with BOTH z-neighbors present
+        lo, hi = bk - z, bk + z
+        n_lo = missing(bk, lo)
+        n_hi = missing(bk, hi)
+        # upper bound (a code missing from bk whose BOTH z-neighbors are
+        # bricks is counted twice) — capacity over-sizing is safe and the
+        # bucket rounding absorbs it
+        nd = len(bk) + n_lo + n_hi
+        caps.append((cap(len(bk)), cap(nd)))
+        codes = dedup_sorted(np.sort((codes >> 1) & fmask))
     return tuple(caps)
 
 
@@ -255,7 +303,7 @@ def to_voxels(feats_b: jnp.ndarray, plan: BrickPlan,
 
 
 def _to_dilated(feats_b: jnp.ndarray, plan: BrickPlan,
-                block: T.Optional[int], window: int) -> jnp.ndarray:
+                block, window: int) -> jnp.ndarray:
     """Lift (Bcap, Z, C) real features to (Dcap, Z*C) dilated rows
     (ghost bricks zero). d2r is monotone, so the blocked-window gather's
     per-block window (anchored by block_lo = d2r at block starts)
@@ -265,6 +313,8 @@ def _to_dilated(feats_b: jnp.ndarray, plan: BrickPlan,
         [feats_b.reshape(bcap, z * c),
          jnp.zeros((1, z * c), feats_b.dtype)], axis=0)
     dcap = plan.dcapacity
+    if block == "auto":
+        block = _auto_block(z * c * 4, window, bcap, dcap)
     if block is None or dcap <= block:
         return flat[plan.d2r]
     nbk = -(-dcap // block)
@@ -316,11 +366,16 @@ def brick_conv_multi(
     biases: T.Sequence[T.Optional[jnp.ndarray]],
     plan: BrickPlan,
     compute_dtype=None,
-    block: T.Optional[int] = sparse.GATHER_BLOCK,
-    window: int = sparse.GATHER_WINDOW,
+    block="auto",
+    window: int = BRICK_WINDOW,
 ) -> T.List[jnp.ndarray]:
     """Several 3³ stride-1 convs over the same brick plan with ONE wide
     gather per (dx, dy) column (channel-packed, like sparse.conv_multi).
+
+    ``block``: "auto" sizes the blocked-window gather from the ext row
+    width (see _auto_block); an int forces that block; None forces the
+    global gather (exact for any coordinate distribution). Callers using
+    windowed gathers must validate brick_max_delta(plan) <= window.
 
     Returns [(Bcap, Z, Cout_i)] float32, masked to occupied slots.
     """
@@ -335,7 +390,10 @@ def brick_conv_multi(
     splits = [f.shape[2] for f in feats_list]
     ctot = packed.shape[2]
 
-    feats_d = _to_dilated(packed, plan, block, window)
+    elem = 2 if compute_dtype in (jnp.bfloat16, "bfloat16") else 4
+    if block == "auto":
+        block = _auto_block((z + 2) * ctot * elem, window, dcap, bcap)
+    feats_d = _to_dilated(packed, plan, "auto" if block else None, window)
     ext = _build_ext(feats_d, plan)  # (Dcap, (Z+2)*ctot)
     ext_pad = jnp.concatenate(
         [ext, jnp.zeros((1, ext.shape[1]), ext.dtype)], axis=0)
@@ -412,8 +470,8 @@ def brick_conv(
     bias: T.Optional[jnp.ndarray],
     plan: BrickPlan,
     compute_dtype=None,
-    block: T.Optional[int] = sparse.GATHER_BLOCK,
-    window: int = sparse.GATHER_WINDOW,
+    block="auto",
+    window: int = BRICK_WINDOW,
 ) -> jnp.ndarray:
     """3³ stride-1 sparse conv in brick layout. Exact vs sparse.conv."""
     (out,) = brick_conv_multi(

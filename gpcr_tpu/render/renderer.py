@@ -36,6 +36,7 @@ import numpy as np
 from ..models.encoder import PCEncoder, PCMLInfo, assemble_input_features
 from ..ops import rasterize as R
 from ..ops import sparse
+from ..ops import sparse_zbrick as zbrick
 from ..structures.camera import Camera
 from ..structures.pointcloud import PointCloud
 from ..structures.trajectory import CameraTrajectory
@@ -568,16 +569,27 @@ class PCMLRender:
             else:
                 coords_np = xyz_np * self.scale_factor + self.offset + off_np
             coords_np = coords_np[np.asarray(valid)]
-            caps = sparse.plan_capacities(coords_np)
+            vcaps = sparse.plan_capacities(coords_np)
+            # z-brick engine capacities for the two finest levels (the
+            # dominant conv cost); levels 2-3 keep the voxel engine
+            bcaps = zbrick.plan_brick_capacities(
+                coords_np, levels=len(self.model.unet.brick_levels))
+            caps = (vcaps, bcaps)
             if caps not in self._plan_jits:
+                brick_capacity = {
+                    lvl: bcaps[i] for i, lvl in enumerate(
+                        self.model.unet.brick_levels)
+                }
                 self._plan_jits[caps] = jax.jit(functools.partial(
-                    self.model.build_plan, level_capacity=caps))
+                    self.model.build_plan, level_capacity=vcaps,
+                    brick_capacity=brick_capacity))
         else:
             _, caps, _ = cached
-        if caps[0] not in self._quant_jits:
-            self._quant_jits[caps[0]] = jax.jit(functools.partial(
-                sparse.quantize_average, capacity=caps[0]))
-        grid = self._quant_jits[caps[0]](coords, feats, valid=valid)
+            vcaps = caps[0]
+        if vcaps[0] not in self._quant_jits:
+            self._quant_jits[vcaps[0]] = jax.jit(functools.partial(
+                sparse.quantize_average, capacity=vcaps[0]))
+        grid = self._quant_jits[vcaps[0]](coords, feats, valid=valid)
         if cached is None:
             plan = self._plan_jits[caps](grid)
             # keep one cloud; storing pcd pins its id for the `is` check

@@ -251,5 +251,55 @@ def main():
     print(f"full blend_stream:      {ms:7.2f} ms")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and not os.environ.get("GPCR_NARROW_PROBE") and not os.environ.get("GPCR_SENTINEL_PROBE"):
     main()
+
+
+def narrow_gather_probe():
+    """Is the gather cliff table-BYTES driven? 1.8M-row gathers from an
+    800K-row table at widths 24/32/64/128 f32 lanes."""
+    rng = np.random.RandomState(0)
+    n, kb = 800_000, 1_800_064
+    idx = jnp.asarray(rng.randint(0, n, size=(kb,)), jnp.int32)
+    for w in (24, 32, 64, 128):
+        tbl = jnp.asarray(rng.randn(n + 1, w), jnp.float32)
+
+        def step(s, tbl_a, idx_a):
+            return tbl_a[idx_a + s.astype(jnp.int32) * 0][0, 0] * 0 + s + 1
+
+        ms = devtime(step, args=(tbl, idx))
+        rate = kb / max(ms, 0.01) / 1e3
+        print(f"  gather (800K,{w:3d})->{kb/1e6:.1f}M: {ms:7.2f} ms  "
+              f"{rate:7.0f} M rows/s  table={(n*w*4)>>20} MB")
+
+
+if __name__ == "__main__" and os.environ.get("GPCR_NARROW_PROBE"):
+    narrow_gather_probe()
+    raise SystemExit
+
+
+def sentinel_probe():
+    """Isolate why the real sorted_g gather is ~3x slower than random:
+    ~20% of entries hit ONE sentinel row. Compare same-row spam vs
+    spread sentinels."""
+    rng = np.random.RandomState(0)
+    n, kb = 800_000, 1_800_064
+    tbl = jnp.asarray(rng.randn(n + 128, 128), jnp.float32)
+    base = rng.randint(0, n, size=(kb,))
+    mask = rng.rand(kb) < 0.2
+    same = np.where(mask, n, base)
+    spread = np.where(mask, n + (np.arange(kb) % 128), base)
+    for name, ii in [("random", base), ("20% same sentinel", same),
+                     ("20% spread sentinel", spread)]:
+        idx = jnp.asarray(ii, jnp.int32)
+
+        def step(s, tbl_a, idx_a):
+            return tbl_a[idx_a + s.astype(jnp.int32) * 0][0, 0] * 0 + s + 1
+
+        ms = devtime(step, args=(tbl, idx))
+        print(f"  {name:22s}: {ms:7.2f} ms  {kb/max(ms,.01)/1e3:6.0f} M rows/s")
+
+
+if __name__ == "__main__" and os.environ.get("GPCR_SENTINEL_PROBE"):
+    sentinel_probe()
+    raise SystemExit

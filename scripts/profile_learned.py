@@ -48,6 +48,8 @@ def main():
                          "sf448) gives THuman-like level occupancy "
                          "(~0.36/0.11/0.03 per level); 0.01 is a thick fuzz "
                          "shell that stresses the engine")
+    ap.add_argument("--bricks", action="store_true",
+                    help="z-brick conv engine at levels 0-1")
     args = ap.parse_args()
 
     rng = np.random.RandomState(0)
@@ -70,8 +72,13 @@ def main():
 
     t0 = time.perf_counter()
     caps = sparse.plan_capacities(coords)
+    brick_capacity = None
+    if args.bricks:
+        from gpcr_tpu.ops import sparse_zbrick as zbrick
+        bcaps = zbrick.plan_brick_capacities(coords, levels=2)
+        brick_capacity = {0: bcaps[0], 1: bcaps[1]}
     print(f"plan_capacities (host): {(time.perf_counter()-t0)*1e3:7.1f} ms "
-          f"caps={caps}")
+          f"caps={caps} bricks={brick_capacity}")
 
     feats = assemble_input_features(info, jnp.asarray(coords), jnp.asarray(rgb))
 
@@ -82,10 +89,12 @@ def main():
 
     t0 = time.perf_counter()
     plan_fn = jax.jit(functools.partial(
-        model.build_plan, level_capacity=caps))
+        model.build_plan, level_capacity=caps,
+        brick_capacity=brick_capacity))
     plan = plan_fn(grid)
-    jax.tree_util.tree_leaves(plan["kmaps"])[0].block_until_ready()
-    np.asarray(plan["kmaps"][0].ravel()[:1])
+    lead = [k for k in plan["kmaps"] if k is not None]
+    probe = lead[0] if lead else plan["bricks"][0].bkmap9
+    np.asarray(probe.ravel()[:1])
     print(f"plan compile+run 1st:   {(time.perf_counter()-t0)*1e3:7.1f} ms")
     ms, plan = timeit(plan_fn, grid)
     for i, g in enumerate(plan["grids"]):
@@ -105,14 +114,31 @@ def main():
     up = params["color_encoder"]
     grids, kmaps = plan["grids"], plan["kmaps"]
 
+    bricks = plan.get("bricks", {})
+
     def conv_at(lvl, cin, cout, reps=1):
         g = grids[lvl]
         w = jnp.asarray(rng.rand(27, cin, cout), jnp.float32) * 0.01
-        f = jnp.asarray(rng.rand(g.capacity, cin), jnp.float32)
+        if lvl in bricks:
+            from gpcr_tpu.ops import sparse_zbrick as zbrick
+            bplan = bricks[lvl]
+            fb = jnp.asarray(rng.rand(
+                bplan.capacity, bplan.z, cin), jnp.float32)
+
+            def fn(f, w):
+                return zbrick.brick_conv(f, w, None, bplan)
+
+            ms, _ = timeit(jax.jit(fn), fb, w)
+            rows = 10 * bplan.capacity + bplan.dcapacity
+            print(f"  BRICK conv L{lvl} C{cin}->{cout}: {ms:7.1f} ms "
+                  f"({rows/1e6:.1f}M wide rows, B={bplan.capacity} "
+                  f"D={bplan.dcapacity})")
+            return
 
         def fn(f, w):
             return sparse.conv(g.replace(feats=f), kmaps[lvl], w, None)
 
+        f = jnp.asarray(rng.rand(g.capacity, cin), jnp.float32)
         ms, _ = timeit(jax.jit(fn), f, w)
         rows = 27 * g.capacity
         print(f"  conv k3 L{lvl} C{cin}->{cout}: {ms:7.1f} ms "

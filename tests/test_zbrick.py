@@ -113,3 +113,34 @@ def test_roundtrip_layout():
         np.asarray(g.feats), rtol=0, atol=0)
     # occupancy count equals valid voxel count
     assert int(plan.occ.sum()) == int(g.num)
+
+
+def test_unet_brick_levels_match_voxel_engine():
+    """Full SparseUNet forward: brick engine at levels 0-1 vs the all-
+    voxel engine — identical outputs (both are exact convs)."""
+    from gpcr_tpu.models.unet import SparseUNet
+
+    rng = np.random.RandomState(7)
+    n = 900
+    coords = rng.randint(200, 260, size=(n, 3)).astype(np.float32)
+    feats = rng.randn(n, 5).astype(np.float32)
+    g = sparse.quantize_average(
+        jnp.asarray(coords), jnp.asarray(feats), capacity=1024)
+
+    ch = [5, 8, 8, 16, 16, 8]
+    net_v = SparseUNet(ch, feat_dim=6, block_layers=2, conv_block=None)
+    net_b = SparseUNet(ch, feat_dim=6, block_layers=2, conv_block=None,
+                       brick_levels=(0, 1))
+    params = net_v.init(jax.random.PRNGKey(0))
+
+    caps = [1024, 1024, 512, 256]
+    plan_v = net_v.build_plan(g, caps)
+    bcaps = zb.plan_brick_capacities(
+        np.asarray(coords), levels=2, bucket=256)
+    plan_b = net_b.build_plan(
+        g, caps, brick_capacity={0: bcaps[0], 1: bcaps[1]})
+    assert 0 in plan_b["bricks"] and 1 in plan_b["bricks"]
+
+    out_v = np.asarray(net_v.apply(params, g, plan_v))
+    out_b = np.asarray(net_b.apply(params, g, plan_b))
+    np.testing.assert_allclose(out_b, out_v, rtol=2e-4, atol=2e-4)
