@@ -102,7 +102,12 @@ class PCEncoder:
 
     def __init__(self, info: T.Union[dict, PCMLInfo], compute_dtype=None,
                  conv_block: T.Optional[int] = sparse.GATHER_BLOCK,
-                 brick_levels: T.Sequence[int] = (0, 1)):
+                 brick_levels: T.Sequence[int] = ()):
+        # brick_levels: opt-in z-brick conv engine per level
+        # (ops/sparse_zbrick.py). Exact and fully tested, but measured
+        # SLOWER than the direct voxel gather conv on this TPU stack
+        # (apply 2.9 s vs 1.0 s at the 800K deployed config) — see
+        # PERFORMANCE.md "z-brick negative result"; default stays voxel.
         self.info = info if isinstance(info, PCMLInfo) else PCMLInfo.from_dict(info)
         if self.info.model_type != "unet":
             raise NotImplementedError(

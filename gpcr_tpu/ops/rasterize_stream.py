@@ -43,6 +43,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import rasterize as R
 
+# binning-variant toggles for A/B benchmarking (scripts/bench bisect);
+# flip via env before import. Defaults = the measured-fastest config.
+import os as _os
+
+_STREAM_BARRIER = _os.environ.get("GPCR_STREAM_BARRIER", "0") == "1"
+_STARTS_METHOD = _os.environ.get("GPCR_STARTS_METHOD", "scan")
+_EMIT_LAYOUT = _os.environ.get("GPCR_EMIT_LAYOUT", "cn")  # cn | nc
+_UNPERM = _os.environ.get("GPCR_UNPERM", "gather")  # gather | scatter
+
 
 def _round_up(x, m):
     return -(-x // m) * m
@@ -123,6 +132,8 @@ def bin_sorted_stream(
     ).astype(jnp.float32)
     # +1 sentinel row (opacity 0 -> inert), pad lanes to 128
     packed = jnp.pad(packed, ((0, 1), (0, 128 - packed.shape[1])))
+    if _STREAM_BARRIER:
+        packed = jax.lax.optimization_barrier(packed)
 
     # 3. emit entries, (cap, n) orientation: the lane axis carries the
     # 800K gaussians (an (n, cap) layout would use cap of 128 lanes —
@@ -135,29 +146,49 @@ def bin_sorted_stream(
         jnp.where(valid_s, jnp.maximum(area_raw - cap, 0), 0)
     )
 
-    k = jax.lax.broadcasted_iota(jnp.int32, (cap, n), 0)
-    # k // rw and k % rw without integer division (no native int divide on
-    # the VPU — div/mod emit cost ~15 ms/frame): k < cap is tiny, so
-    # k // rw == sum_j [k >= j*rw] over j = 1..cap-1
-    kdiv = jnp.zeros((cap, n), jnp.int32)
-    for j in range(1, cap):
-        kdiv = kdiv + (k >= j * rw).astype(jnp.int32)
-    kmod = k - kdiv * rw
-    ty = rminy_s[None, :] + kdiv
-    tx = rminx_s[None, :] + kmod
-    dup_valid = valid_s & (k < area)
-    tile_cn = jnp.where(
-        dup_valid, ty * grid_x + tx, num_tiles
-    ).astype(jnp.int32)
-    g_cn = jnp.where(
-        dup_valid, gidx_s[None, :], n  # sentinel row index
-    )
-    # flatten GAUSSIAN-major (transpose is a cheap bulk op; computing the
-    # emit directly in (n, cap) costs ~5x more VPU time — cap of 128
-    # lanes): entries are then in (depth, rect-slot) order, exactly the
-    # reference's duplicateWithKeys emission order
-    tile_flat = tile_cn.T.reshape(-1)
-    g_flat = g_cn.T.reshape(-1)
+    if _EMIT_LAYOUT == "cn":
+        k = jax.lax.broadcasted_iota(jnp.int32, (cap, n), 0)
+        # k // rw and k % rw without integer division (no native int
+        # divide on the VPU): k < cap is tiny, so k // rw ==
+        # sum_j [k >= j*rw] over j = 1..cap-1
+        kdiv = jnp.zeros((cap, n), jnp.int32)
+        for j in range(1, cap):
+            kdiv = kdiv + (k >= j * rw).astype(jnp.int32)
+        kmod = k - kdiv * rw
+        ty = rminy_s[None, :] + kdiv
+        tx = rminx_s[None, :] + kmod
+        dup_valid = valid_s & (k < area)
+        tile_cn = jnp.where(
+            dup_valid, ty * grid_x + tx, num_tiles
+        ).astype(jnp.int32)
+        g_cn = jnp.where(
+            dup_valid, gidx_s[None, :], n  # sentinel row index
+        )
+        # flatten GAUSSIAN-major: entries in (depth, rect-slot) order,
+        # exactly the reference's duplicateWithKeys emission order
+        tile_flat = tile_cn.T.reshape(-1)
+        g_flat = g_cn.T.reshape(-1)
+    else:
+        # (n, cap) orientation: wastes VPU lanes in isolation but can
+        # fuse into the sort without a materialized transpose
+        valid_v = valid_s[0]
+        rw_v = rw[0]
+        area_v = area[0]
+        k = jnp.arange(cap, dtype=jnp.int32)
+        kdiv = jnp.zeros((n, cap), jnp.int32)
+        for j in range(1, cap):
+            kdiv = kdiv + (k[None, :] >= j * rw_v[:, None]).astype(
+                jnp.int32)
+        kmod = k[None, :] - kdiv * rw_v[:, None]
+        ty = rminy_s[:, None] + kdiv
+        tx = rminx_s[:, None] + kmod
+        dup_valid = valid_v[:, None] & (k[None, :] < area_v[:, None])
+        tile_flat = jnp.where(
+            dup_valid, ty * grid_x + tx, num_tiles
+        ).astype(jnp.int32).reshape(-1)
+        g_flat = jnp.where(
+            dup_valid, gidx_s[:, None], n
+        ).reshape(-1)
 
     # 4. THE sort: STABLE single-key i32 over depth-ordered input — the
     # CUB stable-radix (tile | depth-bits) tie-break semantics, exactly
@@ -175,7 +206,7 @@ def bin_sorted_stream(
     # 9.0 -> 3.4 ms device at 1.8M entries, scripts/ablate_stream.py)
     starts = jnp.searchsorted(
         sorted_tile[:kb], jnp.arange(num_tiles + 1, dtype=jnp.int32),
-        side="left", method="sort",
+        side="left", method=_STARTS_METHOD,
     ).astype(jnp.int32)
 
     # 5. stream gather in sorted-entry order straight from the original
@@ -420,12 +451,21 @@ def blend_stream(
     # num_tiles blocks instead of a scatter (XLA scatters at this size
     # cost ~10 ms; the 16K-element index scatter building `inv` is
     # negligible). Uncovered tiles read the sentinel block (acc=0, T=1).
-    sentinel = jnp.zeros((1, c_out, p_out), jnp.float32)
-    sentinel = sentinel.at[:, c_out - 1, :].set(1.0)
-    inv = jnp.full((num_tiles,), n_grid, jnp.int32).at[order_g].set(
-        jnp.arange(n_grid, dtype=jnp.int32)
-    )
-    out_t = jnp.concatenate([out_o, sentinel], axis=0)[inv]
+    if _UNPERM == "gather":
+        sentinel = jnp.zeros((1, c_out, p_out), jnp.float32)
+        sentinel = sentinel.at[:, c_out - 1, :].set(1.0)
+        inv = jnp.full((num_tiles,), n_grid, jnp.int32).at[order_g].set(
+            jnp.arange(n_grid, dtype=jnp.int32)
+        )
+        out_t = jnp.concatenate([out_o, sentinel], axis=0)[inv]
+    elif n_grid < num_tiles:
+        base = jnp.zeros((num_tiles, c_out, p_out), jnp.float32)
+        base = base.at[:, c_out - 1, :].set(1.0)
+        out_t = base.at[order_g].set(out_o)
+    else:
+        out_t = jnp.zeros(
+            (num_tiles, c_out, p_out), jnp.float32
+        ).at[order_g].set(out_o)
     t_run = out_t[:, c_out - 1, :]  # (num_tiles, P)
     acc = out_t[:, :channels, :].transpose(0, 2, 1)  # (num_tiles, P, C)
     out = acc + t_run[..., None] * bg[None, None, :]

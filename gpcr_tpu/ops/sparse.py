@@ -603,19 +603,25 @@ def _gather_conv_blocked(
     km_pad = jnp.pad(
         kmap, ((0, npad - n_out), (0, 0)), constant_values=table
     )
+    km_blocks = km_pad.reshape(nb, block, kk)
+    if block_lo is not None:
+        base = block_lo[jnp.minimum(
+            jnp.arange(nb), block_lo.shape[0] - 1)]
+    else:
+        base = jnp.arange(nb) * block * stride_num // stride_den
 
-    def one_block(b, outs):
-        base = (
-            block_lo[jnp.minimum(b, block_lo.shape[0] - 1)]
-            if block_lo is not None
-            else b * block * stride_num // stride_den
-        )
-        lo = jnp.clip(base - window, 0, capp - win_rows)
+    # scan with per-step OUTPUTS (ys), not a fori_loop updating a big
+    # carry: XLA materializes a copy of a dynamic_update_slice'd carry
+    # on every iteration (~npad*co*4 bytes each), which dominated wide-
+    # output gathers (the brick engine's to_dilated measured 10.9 ms of
+    # which ~8 were carry copies); scan ys append in place.
+    def step(_, xs):
+        km_blk, b0 = xs
+        lo = jnp.clip(b0 - window, 0, capp - win_rows)
         win = jax.lax.dynamic_slice(feats_pad, (lo, 0), (win_rows, c))
         win = jnp.concatenate(
             [win, jnp.zeros((1, c), feats_pad.dtype)], axis=0
         )
-        km_blk = jax.lax.dynamic_slice(km_pad, (b * block, 0), (block, kk))
 
         def rows(km, i):
             gidx = km[:, i]
@@ -625,17 +631,12 @@ def _gather_conv_blocked(
             )
             return win[local]
 
-        blk = accumulate(rows, km_blk, block, unroll)
-        return tuple(
-            jax.lax.dynamic_update_slice(o, nb_o, (b * block, 0))
-            for o, nb_o in zip(outs, blk)
-        )
+        return None, accumulate(rows, km_blk, block, unroll)
 
-    outs = jax.lax.fori_loop(
-        0, nb, one_block,
-        tuple(jnp.zeros((npad, co), jnp.float32) for co in couts),
+    _, outs = jax.lax.scan(step, None, (km_blocks, base))
+    return tuple(
+        o.reshape(npad, co)[:n_out] for o, co in zip(outs, couts)
     )
-    return tuple(o[:n_out] for o in outs)
 
 
 # --------------------------------------------------------------------------

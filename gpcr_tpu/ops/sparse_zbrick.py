@@ -397,60 +397,74 @@ def brick_conv_multi(
     ext = _build_ext(feats_d, plan)  # (Dcap, (Z+2)*ctot)
     ext_pad = jnp.concatenate(
         [ext, jnp.zeros((1, ext.shape[1]), ext.dtype)], axis=0)
+    # ext MUST be materialized before the 9 column gathers: without the
+    # barrier XLA fuses its producer chain (a gather + shifts) into each
+    # consumer gather, re-evaluating to_dilated PER COLUMN — measured 6x
+    # slower (356 vs ~60 ms/conv at L0; the probe with a materialized
+    # ext argument runs the same gathers+matmuls in 12.6 ms)
+    ext_pad = jax.lax.optimization_barrier(ext_pad)
 
     offs9 = [(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
-
-    def make_dot(o):
-        dx, dy = offs9[o]
-
-        def dot(g, _i):
-            nbr = g.reshape(g.shape[0], z + 2, ctot)
-            outs = []
-            off = 0
-            for w, ci in zip(ws, splits):
-                acc = None
-                for dz in (-1, 0, 1):
-                    tap = jax.lax.slice(
-                        nbr, (0, 1 + dz, off), (g.shape[0], 1 + dz + z,
-                                                off + ci))
-                    t = jax.lax.dot_general(
-                        tap, w[_me_widx(dx, dy, dz)],
-                        (((2,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    acc = t if acc is None else acc + t
-                outs.append(acc.reshape(g.shape[0], z * w.shape[2]))
-                off += ci
-            return jnp.concatenate(outs, axis=-1)
-
-        return dot
-
     couts = [w.shape[2] for w in ws]
     cout_tot = sum(couts)
 
-    # one accumulate carrying every conv's channels in a single output:
-    # each offset's contribution concatenates [conv0 | conv1 | ...]
-    # blocks along the channel axis. The per-offset python dispatch
-    # requires the unrolled offset loop (i must be static).
-    dot_fns = [make_dot(o) for o in range(9)]
+    # Fold the 3 z-taps into ONE block-banded weight per (dx, dy): for
+    # output z-row r, tap dz reads ext row r+dz+1 through w[(dx,dy,dz)]
+    # — a ((Z+2)*ctot, Z*cout_tot) banded matrix per offset (convs
+    # concatenated along the output columns). Each offset is then a
+    # single dense MXU matmul on the gathered ext rows. The obvious
+    # 27-strided-slice formulation measured ~104 ms at the L0 shape —
+    # XLA materializes every (B, Z, C) slice — while the dense band
+    # wastes ~2x FLOPs and runs the MXU at K=(Z+2)*ctot. Bands are
+    # built at trace time from the (27, Cin, Cout) ME-layout weights,
+    # so checkpoints are untouched.
+    # concat-only construction (no tiny scatters — dozens of small
+    # .at[].set updates measured milliseconds per conv): row-block zr of
+    # the band holds, for output row r, w[dz=zr-r-1] at the conv's
+    # channel rows, zeros elsewhere
+    def band(o):
+        dx, dy = offs9[o]
+        col_pre = [0]
+        for co in couts:
+            col_pre.append(col_pre[-1] + z * co)
+        zr_rows = []
+        for zr in range(z + 2):
+            conv_rows = []
+            for w, ci, co in zip(ws, splits, couts):
+                tiles = []
+                for r in range(z):
+                    dz = zr - r - 1
+                    if -1 <= dz <= 1:
+                        tiles.append(w[_me_widx(dx, dy, dz)])
+                    else:
+                        tiles.append(jnp.zeros((ci, co), w.dtype))
+                conv_rows.append(jnp.concatenate(tiles, axis=1))
+            # rows: channels stacked per conv; columns: per-conv groups
+            row_blocks = []
+            for j, cr in enumerate(conv_rows):
+                lead = col_pre[j]
+                trail = col_pre[-1] - col_pre[j + 1]
+                row_blocks.append(jnp.pad(cr, ((0, 0), (lead, trail))))
+            zr_rows.append(jnp.concatenate(row_blocks, axis=0))
+        return jnp.concatenate(zr_rows, axis=0)
+
+    bands = jnp.stack([band(o) for o in range(9)])
 
     def combined(g, i):
-        return dot_fns[i](g, i)
+        return jax.lax.dot_general(
+            g, bands[i], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
-    if block is not None and dcap > block:
-        nbk = -(-bcap // block)
-        block_lo = plan.r2d[
-            jnp.minimum(jnp.arange(nbk) * block, bcap - 1)]
-        block_lo = jnp.clip(block_lo, 0, dcap)
-    else:
-        block_lo = None
-    # a block of `block` REAL output bricks spans ~block*dcap/bcap rows
-    # of the dilated ext table; stride-scale the static window so the
-    # slice covers it (plus the `window` margin for neighbor deltas and
-    # density drift — callers validate brick_max_delta <= window)
+    # GLOBAL gather+matmul per column: wide ((Z+2)ctot-lane) rows gather
+    # from the full dilated table at ~420M rows/s and XLA overlaps the
+    # fused banded matmul almost completely (scripts/ablate_brick.py
+    # barrier probe: 9x(gather+matmul) 12.6 ms vs gather-alone 12.6 /
+    # matmuls-alone 13.3). The blocked-window machinery measured 3x
+    # SLOWER here — the round-2 gather cliff applies to NARROW (<=512B)
+    # rows, not these.
     (out_flat,) = sparse._gather_conv_blocked(
         ext_pad, plan.bkmap9, [combined], [z * cout_tot],
-        block or bcap, window, stride_num=dcap, stride_den=bcap,
-        block_lo=block_lo, unroll=True,
+        dcap + 1, window, unroll=True,
     )
     out_flat = out_flat.reshape(bcap, -1)
     result = []
