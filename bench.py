@@ -36,11 +36,11 @@ def main():
                          "compaction helps the aligned fast paths but loses "
                          "in the default XLA graph — see PERFORMANCE.md")
     ap.add_argument("--impl", default="stream", choices=["xla", "stream"])
-    ap.add_argument("--max_active", type=int, default=8192,
+    ap.add_argument("--max_active", type=int, default=6144,
                     help="stream-path grid budget on non-empty tiles "
                          "(0 = all tiles); empty grid steps cost ~1 us each "
                          "so halving the 16K grid saves ~8 ms")
-    ap.add_argument("--views_per_dispatch", type=int, default=4,
+    ap.add_argument("--views_per_dispatch", type=int, default=8,
                     help=">1 renders that many views inside ONE jit "
                          "(lax.map) and reports ms/frame = dispatch/views — "
                          "the TPU-first deployment shape (default 4); 1 "
