@@ -36,6 +36,8 @@ def main():
                          "compaction helps the aligned fast paths but loses "
                          "in the default XLA graph — see PERFORMANCE.md")
     ap.add_argument("--impl", default="stream", choices=["xla", "stream"])
+    ap.add_argument("--chunk", type=int, default=256,
+                    help="stream kernel chunk rows")
     ap.add_argument("--max_active", type=int, default=6144,
                     help="stream-path grid budget on non-empty tiles "
                          "(0 = all tiles); empty grid steps cost ~1 us each "
@@ -101,7 +103,7 @@ def main():
         # this config; overflow is counted and warned below)
         k_budget = 1_800_000
     config = R.RasterizeConfig(
-        max_dup_per_gaussian=args.dup_cap, chunk_size=128, tile_batch=256,
+        max_dup_per_gaussian=args.dup_cap, chunk_size=args.chunk, tile_batch=256,
         k_budget=k_budget or None,
         max_active_tiles=args.max_active or None,
         impl=args.impl,

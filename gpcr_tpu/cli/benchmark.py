@@ -112,6 +112,11 @@ def _raster_config(args):
 
     return RasterizeConfig(
         impl="stream", max_dup_per_gaussian=args.dup_cap,
+        # 256-row chunks halve the stream kernel's per-chunk fixed costs
+        # (bench.py sweep: 70.2 -> 60.1 ms/frame vs 128; 512 loses to
+        # tile padding waste). The XLA blend path keeps its own 128
+        # optimum via the RasterizeConfig default.
+        chunk_size=256,
         max_active_tiles=args.max_active_tiles or None,
         k_budget=args.k_budget or None,
     )
