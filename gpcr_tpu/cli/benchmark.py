@@ -271,7 +271,7 @@ def build_parser():
     p.add_argument("--down_sample_ratio", type=float, default=1.0)
     p.add_argument("--dup_cap", type=int, default=16,
                    help="tiles-per-splat cap for the stream rasterizer")
-    p.add_argument("--k_budget", type=int, default=6_000_000,
+    p.add_argument("--k_budget", type=int, default=7_500_000,
                    help="sorted-entry stream budget (0 = unbounded); "
                         "dropped entries are warned after the render")
     p.add_argument("--max_active_tiles", type=int, default=0,
