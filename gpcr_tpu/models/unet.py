@@ -213,14 +213,19 @@ class SparseUNet:
         # eat the index savings), so the 27-offset kernel map stays.
         bricks = {}
         if brick_capacity:
-            for lvl in self.brick_levels:
-                if lvl in brick_capacity:
-                    bcap, dcap = brick_capacity[lvl]
-                    bricks[lvl] = zbrick.build_brick_plan(
-                        grids[lvl], capacity=bcap, dilated_capacity=dcap)
-        # kernel maps only for levels NOT served by the brick engine
-        kmaps = [None if lvl in bricks else sparse.build_kernel_map(g, 3)
-                 for lvl, g in enumerate(grids)]
+            for lvl, (bcap, dcap) in brick_capacity.items():
+                bricks[lvl] = zbrick.build_brick_plan(
+                    grids[lvl], capacity=bcap, dilated_capacity=dcap)
+        # Levels with a brick plan derive their 27-kernel map FROM it
+        # (9 per-brick lookups + shifts — exact, and ~2x cheaper than
+        # the 27 per-voxel merge-lookups that dominated plan time) —
+        # unless the level also runs brick CONVS (self.brick_levels),
+        # which need no voxel kmap at all.
+        kmaps = [
+            None if (lvl in bricks and lvl in self.brick_levels)
+            else (zbrick.build_kernel_map_bricks(g, bricks[lvl])
+                  if lvl in bricks else sparse.build_kernel_map(g, 3))
+            for lvl, g in enumerate(grids)]
         return {"grids": grids, "downs": downs, "kmaps": kmaps,
                 "bricks": bricks,
                 "overflow": [g.num > g.capacity for g in grids],
@@ -241,7 +246,10 @@ class SparseUNet:
         voxel-gather conv. Both engines are exact, so any mix matches the
         reference bit-for-bit in f32."""
         grids, downs, kmaps = plan["grids"], plan["downs"], plan["kmaps"]
-        bricks = plan.get("bricks", {})
+        # brick plans may exist purely for kernel-map construction; only
+        # levels in self.brick_levels run their convs on the brick engine
+        bricks = {lvl: bp for lvl, bp in plan.get("bricks", {}).items()
+                  if lvl in self.brick_levels}
 
         cdt = self.compute_dtype
 

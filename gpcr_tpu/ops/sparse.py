@@ -563,9 +563,14 @@ def _gather_conv_blocked(
     n_out, kk = kmap.shape
     if unroll is None:
         # default: unroll small graphs (small offset count or small row
-        # count); big-level 27-offset graphs keep the fori to bound
-        # compile time
-        unroll = kk <= 9 or n_out <= 262_144
+        # count) — XLA then overlaps the independent per-offset gathers,
+        # ~2x at the 28K-row L3 shape. Big-level 27-offset graphs keep
+        # the fori to bound compile time, and CPU (the test platform)
+        # always does: unrolling inflated the CPU suite from ~10 to
+        # ~60 minutes of compile for zero coverage benefit (both
+        # branches compute identical math).
+        unroll = (kk <= 9 or n_out <= 262_144) and (
+            jax.default_backend() != "cpu")
 
     def accumulate(rows_of, km_rows, nrows, unroll):
         accs = tuple(jnp.zeros((nrows, co), jnp.float32) for co in couts)

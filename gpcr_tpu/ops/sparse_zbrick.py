@@ -491,3 +491,58 @@ def brick_conv(
     (out,) = brick_conv_multi(
         [feats_b], [weight], [bias], plan, compute_dtype, block, window)
     return out
+
+
+def build_kernel_map_bricks(grid: sparse.SparseGrid,
+                            plan: BrickPlan) -> jnp.ndarray:
+    """EXACT replacement for sparse.build_kernel_map(grid, 3) built from
+    a BrickPlan: instead of 27 merge-lookups per VOXEL (the plan-time
+    hog — two ~22M-element sorts per level at 800K), reuse the brick
+    plan's 9 per-BRICK column lookups and derive the 27 voxel indices
+    from brick_src with shifts and static slices.
+
+    For voxel (x,y,z) = slot (b, r) and offset (dx,dy,dz): the neighbor
+    lives in the (dx,dy) column's z-extended slot row r+dz+1 — rows of
+    ``ext_src`` (the brick_src analogue of _build_ext, where the
+    z-adjacent brick is the adjacent dilated entry when present). Misses
+    everywhere are grid.capacity, matching build_kernel_map.
+    """
+    bcap, z = plan.brick_src.shape
+    nmax = grid.capacity
+    dcap = plan.dcapacity
+
+    # brick_src lifted to dilated space (ghost bricks -> all-miss rows)
+    flat = jnp.concatenate(
+        [plan.brick_src, jnp.full((1, z), nmax, jnp.int32)], axis=0)
+    src_d = flat[jnp.minimum(plan.d2r, bcap)]  # (Dcap, Z)
+    top = src_d[:, z - 1:]
+    bot = src_d[:, :1]
+    below = jnp.where(
+        plan.zdn_ok[:, None] > 0,
+        jnp.concatenate([jnp.full((1, 1), nmax, jnp.int32), top[:-1]]),
+        nmax)
+    above = jnp.where(
+        plan.zup_ok[:, None] > 0,
+        jnp.concatenate([bot[1:], jnp.full((1, 1), nmax, jnp.int32)]),
+        nmax)
+    ext_src = jnp.concatenate([below, src_d, above], axis=1)  # (Dcap, Z+2)
+    ext_src = jnp.concatenate(
+        [ext_src, jnp.full((1, z + 2), nmax, jnp.int32)], axis=0)
+
+    # per (brick, column) z-extended source rows: (Bcap, 9, Z+2)
+    g9 = ext_src[plan.bkmap9]
+
+    # slot-level kmap: for z-row r the dz in {-1,0,1} taps read ext rows
+    # r..r+2 (static slices); axis order must be ME HYPER_CUBE x-fastest
+    # = index (dz+1)*9 + (dy+1)*3 + (dx+1), and bkmap9's columns are
+    # already (dy,dx) row-major -> transpose (col, dz) -> (dz, col)
+    per_r = []
+    for r in range(z):
+        s = jax.lax.slice(g9, (0, 0, r), (bcap, 9, r + 3))  # (B, 9, 3)
+        per_r.append(jnp.transpose(s, (0, 2, 1)).reshape(bcap, 27))
+    kmap_slots = jnp.stack(per_r, axis=1).reshape(bcap * z, 27)
+    kmap_slots = jnp.concatenate(
+        [kmap_slots, jnp.full((1, 27), nmax, jnp.int32)], axis=0)
+
+    vs = jnp.minimum(plan.vox_slot, bcap * z)
+    return kmap_slots[vs]  # (Nmax, 27)

@@ -570,16 +570,13 @@ class PCMLRender:
                 coords_np = xyz_np * self.scale_factor + self.offset + off_np
             coords_np = coords_np[np.asarray(valid)]
             vcaps = sparse.plan_capacities(coords_np)
-            # z-brick engine capacities for the two finest levels (the
-            # dominant conv cost); levels 2-3 keep the voxel engine
-            bcaps = zbrick.plan_brick_capacities(
-                coords_np, levels=len(self.model.unet.brick_levels))
+            # brick capacities for the two finest levels: their kernel
+            # maps are built FROM brick plans (~2x cheaper plan) even
+            # when the convs themselves use the voxel engine
+            bcaps = zbrick.plan_brick_capacities(coords_np, levels=2)
             caps = (vcaps, bcaps)
             if caps not in self._plan_jits:
-                brick_capacity = {
-                    lvl: bcaps[i] for i, lvl in enumerate(
-                        self.model.unet.brick_levels)
-                }
+                brick_capacity = {0: bcaps[0], 1: bcaps[1]}
                 self._plan_jits[caps] = jax.jit(functools.partial(
                     self.model.build_plan, level_capacity=vcaps,
                     brick_capacity=brick_capacity))

@@ -67,16 +67,16 @@ def main():
         clr_encoder_channels="9 32 64 128 256 128", scale_factor=sf,
         sh_deg=1, sh_feat_deg=0,
     )
-    model = PCEncoder(info)
+    model = PCEncoder(info, brick_levels=(0, 1) if args.bricks else ())
     params = model.init(jax.random.PRNGKey(0))
 
     t0 = time.perf_counter()
     caps = sparse.plan_capacities(coords)
-    brick_capacity = None
-    if args.bricks:
-        from gpcr_tpu.ops import sparse_zbrick as zbrick
-        bcaps = zbrick.plan_brick_capacities(coords, levels=2)
-        brick_capacity = {0: bcaps[0], 1: bcaps[1]}
+    # brick plans always built (they also build the L0/L1 kernel maps
+    # ~2x cheaper); --bricks switches the CONV engine
+    from gpcr_tpu.ops import sparse_zbrick as zbrick
+    bcaps = zbrick.plan_brick_capacities(coords, levels=2)
+    brick_capacity = {0: bcaps[0], 1: bcaps[1]}
     print(f"plan_capacities (host): {(time.perf_counter()-t0)*1e3:7.1f} ms "
           f"caps={caps} bricks={brick_capacity}")
 

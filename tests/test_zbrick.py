@@ -127,9 +127,9 @@ def test_unet_brick_levels_match_voxel_engine():
     g = sparse.quantize_average(
         jnp.asarray(coords), jnp.asarray(feats), capacity=1024)
 
-    ch = [5, 8, 8, 16, 16, 8]
-    net_v = SparseUNet(ch, feat_dim=6, block_layers=2, conv_block=None)
-    net_b = SparseUNet(ch, feat_dim=6, block_layers=2, conv_block=None,
+    ch = [5, 4, 4, 8, 8, 4]
+    net_v = SparseUNet(ch, feat_dim=6, block_layers=1, conv_block=None)
+    net_b = SparseUNet(ch, feat_dim=6, block_layers=1, conv_block=None,
                        brick_levels=(0, 1))
     params = net_v.init(jax.random.PRNGKey(0))
 
@@ -144,3 +144,47 @@ def test_unet_brick_levels_match_voxel_engine():
     out_v = np.asarray(net_v.apply(params, g, plan_v))
     out_b = np.asarray(net_b.apply(params, g, plan_b))
     np.testing.assert_allclose(out_b, out_v, rtol=2e-4, atol=2e-4)
+
+
+def test_kernel_map_from_bricks_matches_direct():
+    """build_kernel_map_bricks must reproduce sparse.build_kernel_map
+    exactly (same indices incl. misses) on random and border clouds."""
+    for seed, base, span in [(11, 100, 24), (12, 0, 8), (13, 1016, 8)]:
+        rng = np.random.RandomState(seed)
+        coords = rng.randint(base, base + span, size=(800, 3))
+        coords = np.clip(coords, 0, 1023).astype(np.float32)
+        feats = rng.randn(len(coords), 2).astype(np.float32)
+        g = sparse.quantize_average(
+            jnp.asarray(coords), jnp.asarray(feats), capacity=1024)
+        ref = np.asarray(sparse.build_kernel_map(g, 3))
+        plan = zb.build_brick_plan(g, capacity=1024, z=4)
+        got = np.asarray(zb.build_kernel_map_bricks(g, plan))
+        # rows beyond num are garbage-but-miss in both; compare valid rows
+        num = int(g.num)
+        np.testing.assert_array_equal(got[:num], ref[:num])
+
+
+def test_unet_brick_kmaps_voxel_convs_match_direct():
+    """brick plans used ONLY for kernel-map construction (voxel convs,
+    the production default) must match the all-direct plan exactly."""
+    from gpcr_tpu.models.unet import SparseUNet
+
+    rng = np.random.RandomState(21)
+    coords = rng.randint(150, 200, size=(700, 3)).astype(np.float32)
+    feats = rng.randn(700, 5).astype(np.float32)
+    g = sparse.quantize_average(
+        jnp.asarray(coords), jnp.asarray(feats), capacity=1024)
+
+    net = SparseUNet([5, 4, 4, 8, 8, 4], feat_dim=6, block_layers=1,
+                     conv_block=None)
+    params = net.init(jax.random.PRNGKey(0))
+    caps = [1024, 1024, 512, 256]
+    plan_direct = net.build_plan(g, caps)
+    bcaps = zb.plan_brick_capacities(
+        np.asarray(coords), levels=2, bucket=256)
+    plan_brick = net.build_plan(
+        g, caps, brick_capacity={0: bcaps[0], 1: bcaps[1]})
+    assert plan_brick["kmaps"][0] is not None  # voxel convs still served
+    out_d = np.asarray(net.apply(params, g, plan_direct))
+    out_b = np.asarray(net.apply(params, g, plan_brick))
+    np.testing.assert_array_equal(out_b, out_d)
