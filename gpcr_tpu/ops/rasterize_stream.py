@@ -51,6 +51,17 @@ _STREAM_BARRIER = _os.environ.get("GPCR_STREAM_BARRIER", "0") == "1"
 _STARTS_METHOD = _os.environ.get("GPCR_STARTS_METHOD", "scan")
 _EMIT_LAYOUT = _os.environ.get("GPCR_EMIT_LAYOUT", "cn")  # cn | nc
 _UNPERM = _os.environ.get("GPCR_UNPERM", "gather")  # gather | scatter
+# exact per-tile cull (cn layout only): drop (splat, tile) entries whose
+# max alpha over the tile's pixel rect is < 1/255 — the blend skips those
+# per-pixel anyway (forward.cu:318-320 semantics), so output is
+# bit-identical while per-tile blend ranges (and the k_budget needed)
+# shrink by the rect-vs-ellipse waste. DEFAULT OFF — measured a NET LOSS
+# on both deployed workloads (bench 62->75 ms/frame, pcrender rgb
+# 1.77->1.99 s): the 4-edge quadratic over the (cap, n) emit plus 6 extra
+# presort payloads cost ~13 ms/frame, while the bench's voxel splats are
+# isotropic and the learned splats mostly sub-tile, so almost nothing
+# culls. Opt in for scenes with large anisotropic splats.
+_TILE_CULL = _os.environ.get("GPCR_TILE_CULL", "0") == "1"
 
 
 def _round_up(x, m):
@@ -97,18 +108,29 @@ def bin_sorted_stream(
     # sort's payload is the ORIGINAL index — stability is a property of
     # input positions, which are depth-ordered, not of payload values).
     depth_key = jnp.where(prep.valid, prep.depth, jnp.inf)
-    _, gidx_s, valid_si, rminx_s, rminy_s, rmaxx_s, rmaxy_s = jax.lax.sort(
-        (
-            depth_key,
-            jnp.arange(n, dtype=jnp.int32),
-            prep.valid.astype(jnp.int32),
-            prep.rect[:, 0],
-            prep.rect[:, 1],
-            prep.rect[:, 2],
-            prep.rect[:, 3],
-        ),
-        num_keys=2,
-    )
+    cull = _TILE_CULL and _EMIT_LAYOUT == "cn"
+    operands = [
+        depth_key,
+        jnp.arange(n, dtype=jnp.int32),
+        prep.valid.astype(jnp.int32),
+        prep.rect[:, 0],
+        prep.rect[:, 1],
+        prep.rect[:, 2],
+        prep.rect[:, 3],
+    ]
+    if cull:
+        # cull-test payloads: projected mean, conic, and the power
+        # threshold 2·ln(255·op) (alpha = op·e^{-q/2} < 1/255 ⇔ q > thr)
+        operands += [
+            prep.mean2d[:, 0],
+            prep.mean2d[:, 1],
+            prep.conic[:, 0],
+            prep.conic[:, 1],
+            prep.conic[:, 2],
+            2.0 * jnp.log(255.0 * jnp.maximum(prep.opacity, 1e-12)),
+        ]
+    sorted_ops = jax.lax.sort(tuple(operands), num_keys=2)
+    (_, gidx_s, valid_si, rminx_s, rminy_s, rmaxx_s, rmaxy_s) = sorted_ops[:7]
 
     # 2. packed per-gaussian rows (original order, one narrow concat + one
     # pad to 128 lanes — Mosaic DMA slices the lane dim at 128 granularity,
@@ -158,6 +180,39 @@ def bin_sorted_stream(
         ty = rminy_s[None, :] + kdiv
         tx = rminx_s[None, :] + kmod
         dup_valid = valid_s & (k < area)
+        if cull:
+            # exact min of q(d) = a·dx² + 2b·dx·dy + c·dy² (d = pixel −
+            # mean) over the tile's continuous pixel rect: q is convex
+            # with its minimum at d = 0, so over a rect not containing
+            # the mean the min lies on one of the 4 edges, each a 1-D
+            # quadratic with a closed-form clamped minimizer. Entries
+            # with qmin > thr have alpha < 1/255 at EVERY tile pixel —
+            # the blend (forward.cu:318-320) contributes exactly zero
+            # for them, so dropping here is bit-exact.
+            mx_s, my_s, ca_s, cb_s, cc_s, thr_s = sorted_ops[7:13]
+            lx = tx.astype(jnp.float32) * config.tile_x - mx_s[None, :]
+            hx = lx + (config.tile_x - 1)
+            ly = ty.astype(jnp.float32) * config.tile_y - my_s[None, :]
+            hy = ly + (config.tile_y - 1)
+            a = ca_s[None, :]
+            b = cb_s[None, :]
+            c = cc_s[None, :]
+
+            def _edge_x(e):
+                dy = jnp.clip(-b * e / jnp.maximum(c, 1e-12), ly, hy)
+                return (a * e + 2.0 * b * dy) * e + c * dy * dy
+
+            def _edge_y(e):
+                dx = jnp.clip(-b * e / jnp.maximum(a, 1e-12), lx, hx)
+                return a * dx * dx + (2.0 * b * dx + c * e) * e
+
+            qmin = jnp.minimum(
+                jnp.minimum(_edge_x(lx), _edge_x(hx)),
+                jnp.minimum(_edge_y(ly), _edge_y(hy)),
+            )
+            inside = (lx <= 0) & (hx >= 0) & (ly <= 0) & (hy >= 0)
+            qmin = jnp.where(inside, 0.0, qmin)
+            dup_valid = dup_valid & ~(qmin > thr_s[None, :])
         tile_cn = jnp.where(
             dup_valid, ty * grid_x + tx, num_tiles
         ).astype(jnp.int32)
@@ -198,7 +253,9 @@ def bin_sorted_stream(
     sorted_tile, sorted_g = jax.lax.sort(
         (tile_flat, g_flat), num_keys=1, is_stable=True
     )
-    total = jnp.sum(area)
+    # count SURVIVING entries (post-cull) against the budget
+    total = (jnp.sum(dup_valid.astype(jnp.int32)) if cull
+             else jnp.sum(area))
     overflow = overflow + jnp.maximum(total - kb, 0)
 
     # method='sort' merges the 16K tile ids into the entry stream with

@@ -107,3 +107,41 @@ def test_stream_fused_downscale_matches_mean_pool():
     assert out.shape == (12, 32, 32)
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
     assert extra["final_T"].shape == (32, 32)
+
+
+def test_tile_cull_is_exact_and_nonvacuous(monkeypatch):
+    """The per-tile alpha cull must be output-invariant (the blend skips
+    sub-1/255 entries per-pixel anyway) while actually dropping entries
+    on an anisotropic scene."""
+    import gpcr_tpu.ops.rasterize_stream as RS
+
+    means, scales, rots, op, feats, valid, settings = scene(seed=7)
+    # stretch along one axis so rects badly over-cover the ellipses
+    scales = scales.at[:, 0].multiply(6.0)
+    config = R.RasterizeConfig(max_dup_per_gaussian=32, chunk_size=64)
+
+    outs, counts = {}, {}
+    for flag in (True, False):
+        monkeypatch.setattr(RS, "_TILE_CULL", flag)
+        out, _, extra = rasterize_gaussians_stream(
+            means, op, settings, scales=scales, rotations=rots,
+            colors_precomp=feats, valid_mask=valid, config=config,
+            interpret=True, return_extra=True,
+        )
+        assert int(extra["dup_overflow"]) == 0
+        outs[flag] = np.asarray(out)
+
+        prep = R.preprocess(
+            means, op, settings, config,
+            scales=scales, rotations=rots, colors_precomp=feats,
+            valid_mask=valid,
+        )
+        grid_x = -(-settings.image_width // config.tile_x)
+        grid_y = -(-settings.image_height // config.tile_y)
+        _, starts, _ = RS.bin_sorted_stream(
+            prep, grid_x * grid_y, grid_x, config
+        )
+        counts[flag] = int(starts[-1])
+
+    np.testing.assert_array_equal(outs[True], outs[False])
+    assert counts[True] < counts[False], counts
