@@ -42,10 +42,10 @@ def main():
                     help="stream-path grid budget on non-empty tiles "
                          "(0 = all tiles); empty grid steps cost ~1 us each "
                          "so halving the 16K grid saves ~8 ms")
-    ap.add_argument("--views_per_dispatch", type=int, default=8,
+    ap.add_argument("--views_per_dispatch", type=int, default=16,
                     help=">1 renders that many views inside ONE jit "
                          "(lax.map) and reports ms/frame = dispatch/views — "
-                         "the TPU-first deployment shape (default 4); 1 "
+                         "the TPU-first deployment shape; 1 "
                          "matches the reference's per-view dispatch "
                          "protocol and pays the full ~27 ms tunnel RTT "
                          "per frame")
