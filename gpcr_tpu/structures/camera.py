@@ -194,6 +194,63 @@ class Camera:
             height_px=int(d["height_px"]),
         )
 
+    def get_camera_frames(
+        self, camera_frame_size: float = 0.1
+    ) -> T.List[T.List[dict]]:
+        """Per-camera coordinate-frame meshes for debug visualization —
+        the reference's Camera.get_camera_frames
+        (structures.py:2083-2099, via plib utils.get_o3d_camera_frame /
+        o3d create_coordinate_frame): +X red / +Y green / +Z blue axis
+        shafts plus a gray origin block, posed in world by H_c2w.
+
+        Returns a [b][q] nested list of mesh dicts with keys
+        ``vertices (V, 3) f32``, ``triangles (F, 3) i32``,
+        ``colors (V, 3) f32``.
+        """
+        H = np.asarray(self.H_c2w, np.float64)
+        b, q = H.shape[:2]
+        return [
+            [
+                coordinate_frame_mesh(H[ib, iq], frame_size=camera_frame_size)
+                for iq in range(q)
+            ]
+            for ib in range(b)
+        ]
+
+    def save_camera_frames(
+        self,
+        filename: str,
+        camera_frame_size: float = 0.1,
+        world_frame_size: T.Optional[float] = None,
+    ) -> None:
+        """Write all camera frames (+ optional world frame at the origin)
+        into one OBJ with per-vertex colors (``v x y z r g b`` — the common
+        extension; any extra floats on v-lines are ignored by plain
+        loaders, including structures.mesh.load_obj). Replaces the
+        reference's o3d draw_geometries debug window
+        (structures.py:2160-2205) with a file artifact."""
+        meshes = [m for row in self.get_camera_frames(camera_frame_size)
+                  for m in row]
+        if world_frame_size is not None:
+            meshes.append(
+                coordinate_frame_mesh(np.eye(4), frame_size=world_frame_size)
+            )
+        with open(filename, "w") as f:
+            f.write("# gpcr_tpu camera frames\n")
+            base = 0
+            for m in meshes:
+                for v, c in zip(m["vertices"], m["colors"]):
+                    f.write(
+                        f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f} "
+                        f"{c[0]:.3f} {c[1]:.3f} {c[2]:.3f}\n"
+                    )
+                for t in m["triangles"]:
+                    f.write(
+                        f"f {t[0] + 1 + base} {t[1] + 1 + base} "
+                        f"{t[2] + 1 + base}\n"
+                    )
+                base += len(m["vertices"])
+
     def save(self, filename: str):
         """Save as .npz (the framework's .pt analogue) or .json."""
         if filename.endswith(".json"):
@@ -228,3 +285,59 @@ class Camera:
             return Camera.from_state_dict({k: z[k] for k in z.files})
 
     load_json = load
+
+
+def _box_mesh(lo, hi, color):
+    """Axis-aligned box as (8 verts, 12 tris, per-vertex color)."""
+    lo = np.asarray(lo, np.float64)
+    hi = np.asarray(hi, np.float64)
+    corners = np.array(
+        [[x, y, z] for x in (lo[0], hi[0]) for y in (lo[1], hi[1])
+         for z in (lo[2], hi[2])]
+    )  # index bits: x<<2 | y<<1 | z
+    tris = np.array(
+        [
+            [0, 1, 3], [0, 3, 2],  # -x
+            [4, 6, 7], [4, 7, 5],  # +x
+            [0, 4, 5], [0, 5, 1],  # -y
+            [2, 3, 7], [2, 7, 6],  # +y
+            [0, 2, 6], [0, 6, 4],  # -z
+            [1, 5, 7], [1, 7, 3],  # +z
+        ],
+        np.int32,
+    )
+    colors = np.tile(np.asarray(color, np.float64), (8, 1))
+    return corners, tris, colors
+
+
+def coordinate_frame_mesh(H: np.ndarray, frame_size: float = 1.0) -> dict:
+    """Triangle-mesh coordinate frame — the o3d
+    ``create_coordinate_frame`` analogue behind the reference's
+    get_o3d_camera_frame (plib utils:2551-2562): +X red, +Y green,
+    +Z blue shafts of length ``frame_size`` plus a gray origin block,
+    transformed into world coordinates by the (4, 4) pose ``H``."""
+    s = float(frame_size)
+    w = s / 20.0
+    parts = [
+        _box_mesh([-1.5 * w] * 3, [1.5 * w] * 3, [0.5, 0.5, 0.5]),
+        _box_mesh([0, -w, -w], [s, w, w], [1.0, 0.0, 0.0]),
+        _box_mesh([-w, 0, -w], [w, s, w], [0.0, 1.0, 0.0]),
+        _box_mesh([-w, -w, 0], [w, w, s], [0.0, 0.0, 1.0]),
+    ]
+    verts = []
+    tris = []
+    colors = []
+    base = 0
+    for v, t, c in parts:
+        verts.append(v)
+        tris.append(t + base)
+        colors.append(c)
+        base += len(v)
+    v = np.concatenate(verts)
+    H = np.asarray(H, np.float64)
+    v = v @ H[:3, :3].T + H[:3, 3]
+    return {
+        "vertices": v.astype(np.float32),
+        "triangles": np.concatenate(tris),
+        "colors": np.concatenate(colors).astype(np.float32),
+    }

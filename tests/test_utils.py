@@ -226,3 +226,54 @@ def test_grid_ray_query_matches_brute_force():
                 assert np.isclose(dist[r, j], bd[r, j], atol=1e-5)
             else:
                 assert idx[r, j] == -1 or dist[r, j] > radius - 1e-4
+
+
+def test_camera_frames_meshes(tmp_path):
+    """get_camera_frames poses one RGB-axis frame mesh per camera
+    (structures.py:2083-2099 analogue) and save_camera_frames writes an
+    OBJ our own loader can read back."""
+    import numpy as np
+
+    from gpcr_tpu.structures.camera import (
+        Camera, coordinate_frame_mesh, derive_camera_intrinsics,
+    )
+    from gpcr_tpu.structures.mesh import load_obj
+
+    rng = np.random.RandomState(3)
+    H = np.tile(np.eye(4, dtype=np.float32), (1, 3, 1, 1))
+    H[0, :, :3, 3] = rng.randn(3, 3)
+    # a non-trivial rotation on camera 1 (Rodrigues via scipy-free path)
+    th = 0.7
+    R = np.array([[np.cos(th), -np.sin(th), 0],
+                  [np.sin(th), np.cos(th), 0], [0, 0, 1]], np.float32)
+    H[0, 1, :3, :3] = R
+    K = derive_camera_intrinsics(64, 64, 60.0)
+    cam = Camera(H_c2w=H, intrinsic=np.tile(np.asarray(K), (1, 3, 1, 1)),
+                 width_px=64, height_px=64)
+
+    frames = cam.get_camera_frames(camera_frame_size=0.2)
+    assert len(frames) == 1 and len(frames[0]) == 3
+    for iq, m in enumerate(frames[0]):
+        assert m["vertices"].shape == (32, 3)
+        assert m["triangles"].shape == (48, 3)
+        assert m["colors"].shape == (32, 3)
+        # the gray origin block (first 8 verts) is centered on the
+        # camera origin
+        np.testing.assert_allclose(
+            m["vertices"][:8].mean(axis=0), H[0, iq, :3, 3], atol=1e-5)
+        # +X shaft tip sits frame_size along the camera x-axis
+        tip = m["vertices"][8:16].mean(axis=0)
+        expect = H[0, iq, :3, 3] + H[0, iq, :3, 0] * 0.1
+        np.testing.assert_allclose(tip, expect, atol=1e-5)
+
+    out = tmp_path / "frames.obj"
+    cam.save_camera_frames(str(out), camera_frame_size=0.2,
+                           world_frame_size=1.0)
+    d = load_obj(str(out))
+    assert d["vertices"].shape == (32 * 4, 3)
+    assert d["triangles"].shape == (48 * 4, 3)
+
+    # identity-pose frame: origin block centered at the world origin
+    m0 = coordinate_frame_mesh(np.eye(4), frame_size=1.0)
+    np.testing.assert_allclose(m0["vertices"][:8].mean(axis=0), 0.0,
+                               atol=1e-7)
