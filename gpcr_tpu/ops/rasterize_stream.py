@@ -62,6 +62,15 @@ _UNPERM = _os.environ.get("GPCR_UNPERM", "gather")  # gather | scatter
 # isotropic and the learned splats mostly sub-tile, so almost nothing
 # culls. Opt in for scenes with large anisotropic splats.
 _TILE_CULL = _os.environ.get("GPCR_TILE_CULL", "0") == "1"
+# pre-sort compaction: when the rect cap is much larger than the entry
+# budget (learned-path configs: cap=32 -> cap*n = 25.6M enumerated slots
+# for ~6.4M real entries), reconstruct the k_budget compacted entry list
+# directly (boundary scatter + delta cumsums — no per-entry gathers) and
+# sort kb entries instead of cap*n. "auto" enables it when kb*2 <= cap*n;
+# "1"/"0" force. Bit-exact vs the dense emit whenever total <= kb (same
+# gaussian-major order into the same stable sort); in the overflow regime
+# the dropped entries differ (depth-tail vs tile-tail) — both warned.
+_EMIT_COMPACT = _os.environ.get("GPCR_EMIT_COMPACT", "auto")
 
 
 def _round_up(x, m):
@@ -168,7 +177,50 @@ def bin_sorted_stream(
         jnp.where(valid_s, jnp.maximum(area_raw - cap, 0), 0)
     )
 
-    if _EMIT_LAYOUT == "cn":
+    # 8-bit field guards for the packed-rect fill: tile grids above
+    # 255x255 (> ~4080 px internal) or caps above 255 fall back to the
+    # dense emit. rw packs as min(rw, cap): k < cap, so any clamped
+    # value >= cap yields the same kdiv = 0 / kmod = k.
+    grid_y = num_tiles // grid_x
+    compact = (not cull and _EMIT_COMPACT != "0"
+               and grid_x <= 255 and grid_y <= 255 and cap <= 255
+               and (_EMIT_COMPACT == "1" or kb * 2 <= k_full))
+    if compact:
+        # ---- compacted emit: kb slots, gaussian-major prefix order ----
+        # Per-slot per-gaussian values are piecewise constant over the
+        # exclusive-cumsum boundaries of `area`; reconstruct each with a
+        # boundary scatter of DELTAS + one inclusive cumsum (exact in
+        # int32) — no kb-row gathers (narrow-row gathers measured 2x the
+        # cost of these cumsums at this size).
+        area_v = area[0]
+        cum = jnp.cumsum(area_v) - area_v  # exclusive starts (n,)
+        total = jnp.sum(area_v)
+
+        def fill(vals):
+            d = vals - jnp.concatenate(
+                [jnp.zeros((1,), vals.dtype), vals[:-1]])
+            z = jnp.zeros((kb,), vals.dtype).at[cum].add(d, mode="drop")
+            return jnp.cumsum(z)
+
+        # rminx (<=255), rminy (<=255), min(rw, cap) (<=255) in one i32
+        packed_rect = (rminx_s * (1 << 16) + rminy_s * (1 << 8)
+                       + jnp.minimum(rw[0], cap)).astype(jnp.int32)
+        rect_f2 = fill(packed_rect)
+        g_fill = fill(gidx_s)
+        k_local = jnp.arange(kb, dtype=jnp.int32) - fill(cum)
+        rminx_f = rect_f2 >> 16
+        rminy_f = (rect_f2 >> 8) & 0xFF
+        rw_f = jnp.maximum(rect_f2 & 0xFF, 1)
+        kdiv = jnp.zeros((kb,), jnp.int32)
+        for j in range(1, cap):
+            kdiv = kdiv + (k_local >= j * rw_f).astype(jnp.int32)
+        kmod = k_local - kdiv * rw_f
+        live = jnp.arange(kb, dtype=jnp.int32) < total
+        tile_flat = jnp.where(
+            live, (rminy_f + kdiv) * grid_x + (rminx_f + kmod), num_tiles
+        ).astype(jnp.int32)
+        g_flat = jnp.where(live, g_fill, n)
+    elif _EMIT_LAYOUT == "cn":
         k = jax.lax.broadcasted_iota(jnp.int32, (cap, n), 0)
         # k // rw and k % rw without integer division (no native int
         # divide on the VPU): k < cap is tiny, so k // rw ==
@@ -253,9 +305,11 @@ def bin_sorted_stream(
     sorted_tile, sorted_g = jax.lax.sort(
         (tile_flat, g_flat), num_keys=1, is_stable=True
     )
-    # count SURVIVING entries (post-cull) against the budget
-    total = (jnp.sum(dup_valid.astype(jnp.int32)) if cull
-             else jnp.sum(area))
+    # count SURVIVING entries (post-cull) against the budget; the
+    # compact branch computed its `total` already
+    if not compact:
+        total = (jnp.sum(dup_valid.astype(jnp.int32)) if cull
+                 else jnp.sum(area))
     overflow = overflow + jnp.maximum(total - kb, 0)
 
     # method='sort' merges the 16K tile ids into the entry stream with

@@ -145,3 +145,35 @@ def test_tile_cull_is_exact_and_nonvacuous(monkeypatch):
 
     np.testing.assert_array_equal(outs[True], outs[False])
     assert counts[True] < counts[False], counts
+
+
+def test_compact_emit_matches_dense(monkeypatch):
+    """The kb-slot compacted emit (boundary scatter + delta cumsums) must
+    reproduce the dense (cap, n) emit bit-exactly when total <= k_budget."""
+    import gpcr_tpu.ops.rasterize_stream as RS
+
+    means, scales, rots, op, feats, valid, settings = scene(seed=11)
+    scales = scales.at[:, 1].multiply(4.0)
+    config = R.RasterizeConfig(
+        max_dup_per_gaussian=32, chunk_size=64, k_budget=8192,
+    )
+
+    outs = {}
+    for mode in ("1", "0"):
+        monkeypatch.setattr(RS, "_EMIT_COMPACT", mode)
+        out, _, extra = rasterize_gaussians_stream(
+            means, op, settings, scales=scales, rotations=rots,
+            colors_precomp=feats, valid_mask=valid, config=config,
+            interpret=True, return_extra=True,
+        )
+        assert int(extra["dup_overflow"]) == 0, mode
+        outs[mode] = np.asarray(out)
+    np.testing.assert_array_equal(outs["1"], outs["0"])
+
+    # and against the exact XLA path
+    ref, _ = R.rasterize_gaussians(
+        means, op, settings, scales=scales, rotations=rots,
+        colors_precomp=feats, valid_mask=valid,
+        config=config._replace(k_budget=None),
+    )
+    np.testing.assert_allclose(outs["1"], np.asarray(ref), atol=1e-5)
