@@ -1,5 +1,12 @@
 """Measure Mosaic's `tpu.dynamic_gather` (VMEM-local row/col shuffle).
 
+MEASURED RESULT (round 3, real TPU v5e): every configuration below FAILS
+to compile — "Mosaic failed: Not implemented: Multiple source vregs along
+gather dimension". tpu.dynamic_gather only addresses ONE vreg along the
+gather dim (8 sublanes / 128 lanes), so a VMEM-fused gather+GEMM sparse
+conv cannot be written in Pallas on this toolchain; the XLA blocked-window
+gather law (~440-500M rows/s) stands as the conv floor.
+
 Mosaic lowers lax.gather ONLY in the take_along_axis form where input,
 indices and output all share one shape (jax/_src/pallas/mosaic/
 lowering.py:2464-2524): out[i,j] = win[idx[i,j], j] (dim 0, sublane
