@@ -153,10 +153,20 @@ def main():
     )
     gx = -(-rp["width"] // config.tile_x)
     nt = gx * (-(-rp["height"] // config.tile_y))
-    _, _, ovf = _R.tile_bin(prep, nt, gx, config)
+    _, starts, ovf = _R.tile_bin(prep, nt, gx, config)
     if int(np.asarray(ovf)) > 0:
         print(f"# WARNING: binning overflow {int(np.asarray(ovf))} entries "
               f"(raise --k_budget)", file=sys.stderr)
+    # the max_active grid budget silently renders overflowing tiles as
+    # background — report it NEXT TO the headline so cross-round numbers
+    # stay like-for-like (tiles beyond the busiest-`max_active` are dropped)
+    counts = np.asarray(starts[1:] - starts[:-1])
+    n_nonempty = int((counts > 0).sum())
+    dropped_tiles = max(0, n_nonempty - args.max_active) if args.max_active else 0
+    dropped_entries = (
+        int(np.sort(counts)[::-1][args.max_active:].sum())
+        if dropped_tiles else 0
+    )
 
     ms = float(np.median(times))
     print(
@@ -171,9 +181,16 @@ def main():
     )
     print(
         f"# frames={args.frames} times_ms={[round(t, 1) for t in times]} "
-        f"device={jax.devices()[0]}",
+        f"device={jax.devices()[0]} nonempty_tiles={n_nonempty} "
+        f"max_active={args.max_active} dropped_tiles={dropped_tiles} "
+        f"dropped_entries={dropped_entries}",
         file=sys.stderr,
     )
+    if dropped_tiles:
+        print(f"# WARNING: max_active budget drops {dropped_tiles} tiles "
+              f"({dropped_entries} entries) — rendered as background; "
+              f"raise --max_active for the all-tiles protocol",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":

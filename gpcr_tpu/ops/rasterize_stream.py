@@ -44,7 +44,16 @@ from jax.experimental.pallas import tpu as pltpu
 from . import rasterize as R
 
 # binning-variant toggles for A/B benchmarking (scripts/bench bisect);
-# flip via env before import. Defaults = the measured-fastest config.
+# flip via env before import. Defaults = the measured-fastest config IN THE
+# FULL FUSED FRAME GRAPH, which differs from the isolated-stage optima in
+# two places (both re-measured, see PERFORMANCE.md "fused-graph defaults"):
+# - starts method 'scan' beats 'sort' by ~10 ms/frame fused even though
+#   'sort' is 3x faster isolated (the extra lax.sort breaks producer
+#   fusions XLA otherwise applies across the searchsorted);
+# - the packed-table optimization_barrier is NEUTRAL here (the stream
+#   gather is the only consumer, so XLA materializes the table anyway);
+#   it is load-bearing only in gather-from-gather chains like the sparse
+#   conv ext tables (PERFORMANCE.md pitfall 7).
 import os as _os
 
 _STREAM_BARRIER = _os.environ.get("GPCR_STREAM_BARRIER", "0") == "1"
@@ -312,9 +321,11 @@ def bin_sorted_stream(
                  else jnp.sum(area))
     overflow = overflow + jnp.maximum(total - kb, 0)
 
-    # method='sort' merges the 16K tile ids into the entry stream with
-    # one extra lax.sort instead of lowering a binary search (measured
-    # 9.0 -> 3.4 ms device at 1.8M entries, scripts/ablate_stream.py)
+    # starts method: 'sort' merges the 16K tile ids into the entry stream
+    # with one extra lax.sort (9.0 -> 3.4 ms ISOLATED at 1.8M entries,
+    # scripts/ablate_stream.py) but measures ~10 ms/frame SLOWER in the
+    # fused frame graph — default 'scan' (the toggle-block comment above
+    # has the full story)
     starts = jnp.searchsorted(
         sorted_tile[:kb], jnp.arange(num_tiles + 1, dtype=jnp.int32),
         side="left", method=_STARTS_METHOD,

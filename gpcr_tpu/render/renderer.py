@@ -596,14 +596,23 @@ class PCMLRender:
         # blocked-gather window check (one host sync per cloud): surface
         # clouds have neighbor-index distances far below the default
         # window; a pathological coordinate distribution must use the
-        # global gather path instead of silently clamping
-        md = max(int(d) for d in plan["max_delta"])
-        if md > sparse.GATHER_WINDOW:
-            raise ValueError(
-                f"kernel-map neighbor deviation {md} exceeds the blocked-"
-                f"gather window ({sparse.GATHER_WINDOW}); pass "
-                f"conv_block=None to PCEncoder for this cloud"
-            )
+        # global gather path instead of silently clamping. Each level is
+        # validated against the window of the engine that runs its convs:
+        # voxel-engine levels (kmap present) against sparse.GATHER_WINDOW,
+        # brick-engine levels against zbrick.BRICK_WINDOW — note the
+        # deployed brick gathers (bkmap9 + block_lo-anchored _to_dilated)
+        # are currently GLOBAL at all test sizes (the _auto_block floor),
+        # so the brick check guards only the opt-in windowed path.
+        brick_lvls = set(getattr(self.model.unet, "brick_levels", ()) or ())
+        for lvl, d in enumerate(plan["max_delta"]):
+            win = (zbrick.BRICK_WINDOW if lvl in brick_lvls
+                   else sparse.GATHER_WINDOW)
+            if int(d) > win:
+                raise ValueError(
+                    f"level-{lvl} neighbor deviation {int(d)} exceeds the "
+                    f"blocked-gather window ({win}); pass conv_block=None "
+                    f"to PCEncoder for this cloud"
+                )
         return self._apply_jit(self.params, grid, plan), grid, plan
 
     def render(

@@ -23,11 +23,22 @@ jax.config.update("jax_platforms", "cpu")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+# files excluded from the `unit` mid-tier: end-to-end golden CLI renders
+# and multichip dryrun subprocesses — they dominate full-suite runtime
+_NON_UNIT_FILES = {"test_cli.py", "test_golden.py", "test_multichip.py"}
+
+
 def pytest_collection_modifyitems(config, items):
     """Run `tpu`-marked tests only when explicitly selected (`-m tpu`):
     they probe/drive the real device via subprocesses and would otherwise
-    add minutes of hardware time to every CPU suite run."""
+    add minutes of hardware time to every CPU suite run. Also auto-apply
+    the `unit` marker (mid tier) to everything outside the slow
+    golden-CLI / multichip files."""
     import pytest as _pytest
+
+    for item in items:
+        if item.path.name not in _NON_UNIT_FILES and "tpu" not in item.keywords:
+            item.add_marker(_pytest.mark.unit)
 
     markexpr = config.getoption("-m", default="") or ""
     if "tpu" in markexpr:

@@ -89,17 +89,34 @@ def test_brick_conv_multi_channel_packing():
 
 
 def test_blocked_window_path_matches_global():
-    """The blocked-window gather variant must equal the global path."""
+    """The WINDOWED _to_dilated branch (block_lo anchoring, stride-scaled
+    slices) must equal the global-gather branch.
+
+    The public entry points never take this branch at test sizes (the
+    _auto_block 4096-row floor makes every dilated table <= one block), so
+    this drives _to_dilated directly with a small forced block. window =
+    bcap makes the window slice provably cover every in-block d2r target
+    (exactness is guaranteed by the contract, not by luck), while still
+    executing the windowed code path."""
     rng = np.random.RandomState(3)
     g = make_grid(rng, 2000, span=40, c=4, cap=2048)
-    w = jnp.asarray(rng.randn(27, 4, 4), jnp.float32) * 0.3
     plan = zb.build_brick_plan(g, capacity=2048, z=4)
-    md = int(zb.brick_max_delta(plan))
     fb = zb.to_bricks(g.feats, plan)
-    ref = zb.brick_conv(fb, w, None, plan, block=None)
-    got = zb.brick_conv(fb, w, None, plan, block=256, window=max(md, 64))
+    packed = fb  # (Bcap, Z, C)
+    dcap = plan.dcapacity
+    block = 256
+    assert dcap > block, "grid too small: windowed branch not exercised"
+    ref = zb._to_dilated(packed, plan, None, zb.BRICK_WINDOW)
+    got = zb._to_dilated(packed, plan, block, int(plan.bcodes.shape[0]))
     np.testing.assert_allclose(
-        np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+        np.asarray(got), np.asarray(ref), rtol=0, atol=0)
+    # and the full conv with a forced block still matches the global conv
+    w = jnp.asarray(rng.randn(27, 4, 4), jnp.float32) * 0.3
+    md = int(zb.brick_max_delta(plan))
+    refc = zb.brick_conv(fb, w, None, plan, block=None)
+    gotc = zb.brick_conv(fb, w, None, plan, block=256, window=max(md, 64))
+    np.testing.assert_allclose(
+        np.asarray(gotc), np.asarray(refc), rtol=1e-5, atol=1e-5)
 
 
 def test_roundtrip_layout():
