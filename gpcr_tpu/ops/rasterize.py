@@ -64,6 +64,11 @@ class RasterizeConfig(T.NamedTuple):
     # full-res image round-trip + the separate resize pass). Requires
     # H, W and tile dims even.
     downscale: int = 1
+    # stream-path only: tiles composited per kernel grid step. Each grid
+    # step carries ~1 us of fixed cost (launch + output-block DMA), so
+    # grouping 4 tiles per step cuts that overhead 4x on the ~6K-step
+    # deployed grids; the tiles still run sequentially inside the step.
+    tiles_per_step: int = 4
 
 
 class GaussianRasterizationSettings(T.NamedTuple):
@@ -461,12 +466,30 @@ def rasterize_gaussians(
             "precomputed 3D covariance!"
         )
 
-    if config.impl == "stream" and not config.differentiable:
+    if config.impl == "stream":
         if jax.default_backend() == "cpu":
-            # the Mosaic kernel only compiles for TPU; CPU (tests, dev
+            # the Mosaic kernels only compile for TPU; CPU (tests, dev
             # boxes) silently uses the exact XLA path — identical
-            # semantics, parity-tested in tests/test_stream.py
+            # semantics, parity-tested in tests/test_stream.py and
+            # tests/test_stream_vjp.py
             config = config._replace(impl="xla")
+        elif config.differentiable:
+            # training fast path: stream forward + back-to-front replay
+            # backward (custom_vjp), replacing the statically-bounded
+            # XLA scan — no max_chunks truncation, kernel-rate gradients
+            from .rasterize_stream_vjp import (
+                rasterize_gaussians_stream_diff,
+            )
+
+            return rasterize_gaussians_stream_diff(
+                means3d, opacities, settings,
+                scales=scales, rotations=rotations,
+                cov3d_precomp=cov3d_precomp,
+                shs=shs, colors_precomp=colors_precomp,
+                valid_mask=valid_mask,
+                config=config._replace(downscale=1),
+                return_extra=return_extra,
+            )
         else:
             from .rasterize_stream import rasterize_gaussians_stream
 

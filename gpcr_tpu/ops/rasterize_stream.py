@@ -57,6 +57,11 @@ from . import rasterize as R
 import os as _os
 
 _STREAM_BARRIER = _os.environ.get("GPCR_STREAM_BARRIER", "0") == "1"
+# barrier the (tile, gidx) emit outputs before the big sort: lax.sort is
+# multi-pass, and a fused emit producer can be re-evaluated per pass
+# (pitfall 7). A/B at the bench: prefix profiling says materialized
+# emit + sort ~14.5 ms vs ~19.2 fused.
+_SORT_BARRIER = _os.environ.get("GPCR_SORT_BARRIER", "1") == "1"
 _STARTS_METHOD = _os.environ.get("GPCR_STARTS_METHOD", "scan")
 _EMIT_LAYOUT = _os.environ.get("GPCR_EMIT_LAYOUT", "cn")  # cn | nc
 _UNPERM = _os.environ.get("GPCR_UNPERM", "gather")  # gather | scatter
@@ -96,6 +101,8 @@ def bin_sorted_stream(
     num_tiles: int,
     grid_x: int,
     config: R.RasterizeConfig,
+    stage: str = "full",
+    return_entries: bool = False,
 ):
     """Depth-presort -> duplicate -> ONE stable tile sort -> stream gather.
 
@@ -111,6 +118,12 @@ def bin_sorted_stream(
     Returns (stream (kb + chunk, ncols) f32, starts (num_tiles+1,) i32,
     overflow scalar i32). ``ncols`` = 8 scalar slots + channels padded to 8.
     Entry rows: [x, y, conic_x, conic_y, conic_z, opacity, depth, 0, feat...].
+
+    ``stage`` is a PROFILING-ONLY prefix cut ("presort" | "packed" |
+    "emit" | "sort" | "starts" | "full"): the in-graph cost of stage k is
+    the measured delta between prefixes, which fusion-blind isolated
+    timings misstate (scripts/profile_stream_prefix.py). Cut outputs are
+    shaped like the full ones but carry garbage past the cut.
     """
     n = prep.depth.shape[0]
     cap = config.max_dup_per_gaussian
@@ -125,17 +138,40 @@ def bin_sorted_stream(
     # step needs NO gather and the packed table needs NO permute (the main
     # sort's payload is the ORIGINAL index — stability is a property of
     # input positions, which are depth-ordered, not of payload values).
+    # The 4 rect fields + validity pack into ONE i32 payload (sort cost
+    # grows per operand; tile grids are <= 255 on each axis at every
+    # supported resolution and rect extents are <= 255 by the same bound):
+    # [rminx:8 | rminy:8 | rw:8 | rh:8], 0 for invalid (area 0). rw/rh
+    # clamp at 255; area computed from the clamps stays >= cap whenever
+    # the true area is, so the dup cap and overflow accounting are
+    # unaffected.
     depth_key = jnp.where(prep.valid, prep.depth, jnp.inf)
     cull = _TILE_CULL and _EMIT_LAYOUT == "cn"
-    operands = [
-        depth_key,
-        jnp.arange(n, dtype=jnp.int32),
-        prep.valid.astype(jnp.int32),
-        prep.rect[:, 0],
-        prep.rect[:, 1],
-        prep.rect[:, 2],
-        prep.rect[:, 3],
-    ]
+    grid_y_ = num_tiles // grid_x
+    pack_ok = grid_x <= 255 and grid_y_ <= 255
+    if pack_ok:
+        rw0 = jnp.minimum(prep.rect[:, 2] - prep.rect[:, 0], 255)
+        rh0 = jnp.minimum(prep.rect[:, 3] - prep.rect[:, 1], 255)
+        rect_pack = jnp.where(
+            prep.valid,
+            (prep.rect[:, 0] << 24) | (prep.rect[:, 1] << 16)
+            | (rw0 << 8) | rh0,
+            0,
+        ).astype(jnp.int32)
+        operands = [depth_key, jnp.arange(n, dtype=jnp.int32), rect_pack]
+    else:
+        # tile grids beyond 255x255 (> 4080 px internal) don't fit the
+        # 8-bit packing: carry the rect fields as separate payloads
+        operands = [
+            depth_key,
+            jnp.arange(n, dtype=jnp.int32),
+            prep.valid.astype(jnp.int32),
+            prep.rect[:, 0],
+            prep.rect[:, 1],
+            prep.rect[:, 2],
+            prep.rect[:, 3],
+        ]
+    n_base = len(operands)
     if cull:
         # cull-test payloads: projected mean, conic, and the power
         # threshold 2·ln(255·op) (alpha = op·e^{-q/2} < 1/255 ⇔ q > thr)
@@ -148,7 +184,22 @@ def bin_sorted_stream(
             2.0 * jnp.log(255.0 * jnp.maximum(prep.opacity, 1e-12)),
         ]
     sorted_ops = jax.lax.sort(tuple(operands), num_keys=2)
-    (_, gidx_s, valid_si, rminx_s, rminy_s, rmaxx_s, rmaxy_s) = sorted_ops[:7]
+    if pack_ok:
+        (_, gidx_s, rect_ps) = sorted_ops[:3]
+        # unpack ((v>>k)&0xFF fixes the arithmetic-shift sign extension
+        # when rminx >= 128 sets the i32 sign bit); valid gaussians have
+        # rh >= 1 so rect_pack == 0 identifies exactly the invalid ones
+        rminx_s = (rect_ps >> 24) & 0xFF
+        rminy_s = (rect_ps >> 16) & 0xFF
+        rmaxx_s = rminx_s + ((rect_ps >> 8) & 0xFF)
+        rmaxy_s = rminy_s + (rect_ps & 0xFF)
+        valid_si = (rect_ps != 0).astype(jnp.int32)
+    else:
+        (_, gidx_s, valid_si, rminx_s, rminy_s, rmaxx_s, rmaxy_s) = (
+            sorted_ops[:7])
+    if stage == "presort":
+        return (gidx_s + rminx_s + rmaxy_s + valid_si,
+                rminy_s, jnp.int32(0))
 
     # 2. packed per-gaussian rows (original order, one narrow concat + one
     # pad to 128 lanes — Mosaic DMA slices the lane dim at 128 granularity,
@@ -174,6 +225,11 @@ def bin_sorted_stream(
     packed = jnp.pad(packed, ((0, 1), (0, 128 - packed.shape[1])))
     if _STREAM_BARRIER:
         packed = jax.lax.optimization_barrier(packed)
+    if stage == "packed":
+        # barrier: the table build is elementwise — without it, a probe
+        # reading one element would let DCE shrink the whole stage
+        return (jax.lax.optimization_barrier(packed),
+                jnp.zeros((1,), jnp.int32), jnp.int32(0))
 
     # 3. emit entries, (cap, n) orientation: the lane axis carries the
     # 800K gaussians (an (n, cap) layout would use cap of 128 lanes —
@@ -250,7 +306,8 @@ def bin_sorted_stream(
             # with qmin > thr have alpha < 1/255 at EVERY tile pixel —
             # the blend (forward.cu:318-320) contributes exactly zero
             # for them, so dropping here is bit-exact.
-            mx_s, my_s, ca_s, cb_s, cc_s, thr_s = sorted_ops[7:13]
+            mx_s, my_s, ca_s, cb_s, cc_s, thr_s = (
+                sorted_ops[n_base:n_base + 6])
             lx = tx.astype(jnp.float32) * config.tile_x - mx_s[None, :]
             hx = lx + (config.tile_x - 1)
             ly = ty.astype(jnp.float32) * config.tile_y - my_s[None, :]
@@ -306,6 +363,14 @@ def bin_sorted_stream(
             dup_valid, gidx_s[:, None], n
         ).reshape(-1)
 
+    if _SORT_BARRIER:
+        tile_flat, g_flat = jax.lax.optimization_barrier(
+            (tile_flat, g_flat))
+    if stage == "emit":
+        # barrier: the emit is elementwise — see the "packed" cut
+        tf, gf = jax.lax.optimization_barrier((tile_flat, g_flat))
+        return (tf, gf, jnp.int32(0))
+
     # 4. THE sort: STABLE single-key i32 over depth-ordered input — the
     # CUB stable-radix (tile | depth-bits) tie-break semantics, exactly
     # (rasterizer_impl.cu:300-308). Two arrays: a third sort operand
@@ -314,6 +379,8 @@ def bin_sorted_stream(
     sorted_tile, sorted_g = jax.lax.sort(
         (tile_flat, g_flat), num_keys=1, is_stable=True
     )
+    if stage == "sort":
+        return (sorted_tile, sorted_g, jnp.int32(0))
     # count SURVIVING entries (post-cull) against the budget; the
     # compact branch computed its `total` already
     if not compact:
@@ -330,14 +397,18 @@ def bin_sorted_stream(
         sorted_tile[:kb], jnp.arange(num_tiles + 1, dtype=jnp.int32),
         side="left", method=_STARTS_METHOD,
     ).astype(jnp.int32)
+    if stage == "starts":
+        return (sorted_g, jax.lax.optimization_barrier(starts), overflow)
 
     # 5. stream gather in sorted-entry order straight from the original
     # table (sentinel payloads produce inert zero rows, so the kernel's
     # chunk slack comes from gathering kb + chunk rows, no extra copy)
     sorted_g = jnp.concatenate(
         [sorted_g, jnp.full((ch,), n, jnp.int32)], axis=0
-    )
-    stream = packed[sorted_g[: kb + ch]]  # (kb + chunk, 128)
+    )[: kb + ch]
+    stream = packed[sorted_g]  # (kb + chunk, 128)
+    if return_entries:
+        return stream, starts, overflow, sorted_g
     return stream, starts, overflow
 
 
@@ -348,9 +419,9 @@ def bin_sorted_stream(
 
 def _stream_kernel(
     order_ref,  # scalar prefetch: (G,) i32 tile ids, actives first
-    starts_ref,  # scalar prefetch: (num_tiles+1,) i32 entry offsets
+    starts_ref,  # scalar prefetch: (num_tiles+2,) i32 entry offsets
     stream_hbm,  # (kb + chunk, ncols) f32, ANY (stays in HBM)
-    out_ref,  # (1, c_out, P) f32 VMEM — rows [:C]=acc, row c_out-1 = T
+    out_ref,  # (tps, c_out, P) f32 VMEM — rows [:C]=acc, row c_out-1 = T
     buf,  # VMEM scratch (2, chunk, ncols) — double buffer
     sems,  # DMA semaphores (2,)
     *,
@@ -362,20 +433,15 @@ def _stream_kernel(
     c_out: int,
     channels: int,
     downscale: int = 1,
+    tps: int = 1,
+    with_contrib: bool = False,
 ):
     i = pl.program_id(0)
     p = tile_x * tile_y
-    t = order_ref[i]
-    s = starts_ref[t]
-    e = starts_ref[t + 1]
-    nch = (e - s + chunk - 1) // chunk
-
-    colp = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
-    px = ((t % grid_x) * tile_x + colp % tile_x).astype(jnp.float32)
-    py = ((t // grid_x) * tile_y + colp // tile_x).astype(jnp.float32)
 
     row = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
     sub = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+    colp = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
 
     def cumprod_sublanes(x):
         """Inclusive cumulative product along the sublane axis — the same
@@ -387,114 +453,169 @@ def _stream_kernel(
             shift *= 2
         return x
 
-    def dma(slot, c):
-        return pltpu.make_async_copy(
-            stream_hbm.at[pl.ds(s + c * chunk, chunk), :],
-            buf.at[slot],
-            sems.at[slot],
-        )
+    # tps tiles composited sequentially per grid step: the ~1 us fixed
+    # per-step cost (launch + output-block write) amortizes tps-fold.
+    # Padded order entries carry tile id == num_tiles, whose starts row
+    # (starts_ref is padded by one) yields an empty range -> background.
+    for j in range(tps):
+        t = order_ref[i * tps + j]
+        s = starts_ref[t]
+        e = starts_ref[t + 1]
+        nch = (e - s + chunk - 1) // chunk
 
-    @pl.when(nch > 0)
-    def _():
-        dma(0, 0).start()
+        px = ((t % grid_x) * tile_x + colp % tile_x).astype(jnp.float32)
+        py = ((t // grid_x) * tile_y + colp // tile_x).astype(jnp.float32)
 
-    def body(c, state):
-        T_run, acc, dead = state  # (1,P), (c_out,P), (1,P)
-        slot = jax.lax.rem(c, 2)
+        def dma(slot, c, s=s):
+            return pltpu.make_async_copy(
+                stream_hbm.at[pl.ds(s + c * chunk, chunk), :],
+                buf.at[slot],
+                sems.at[slot],
+            )
 
-        @pl.when(c + 1 < nch)
+        @pl.when(nch > 0)
         def _():
-            dma(jax.lax.rem(c + 1, 2), c + 1).start()
+            dma(0, 0).start()
 
-        dma(slot, c).wait()
+        def body(state, s=s, e=e, nch=nch, dma=dma):
+            if with_contrib:
+                c, T_run, acc, dead, cnt = state
+            else:
+                c, T_run, acc, dead = state  # (1,P), (c_out,P), (1,P)
+                cnt = None
+            slot = jax.lax.rem(c, 2)
 
-        def live_fn(state):
-            T_run, acc, dead = state
-            b = buf[slot]  # (chunk, ncols)
-            x = b[:, 0:1]
-            y = b[:, 1:2]
-            con_x = b[:, 2:3]
-            con_y = b[:, 3:4]
-            con_z = b[:, 4:5]
-            op = b[:, 5:6]
+            @pl.when(c + 1 < nch)
+            def _():
+                dma(jax.lax.rem(c + 1, 2), c + 1).start()
 
-            in_r = (s + c * chunk + row) < e  # rows past e: other tiles
-            dx = x - px  # (chunk, P)
-            dy = y - py
-            power = (
-                -0.5 * (con_x * dx * dx + con_z * dy * dy) - con_y * dx * dy
-            )
-            alpha = jnp.minimum(0.99, op * jnp.exp(power))
-            a = jnp.where(
-                (power > 0.0) | (alpha < (1.0 / 255.0)) | (~in_r), 0.0, alpha
-            )
-            om = 1.0 - a  # >= 0.01 wherever a > 0, == 1 where a == 0
-            cum = cumprod_sublanes(om)
-            T_incl = T_run * cum  # (chunk, P)
-            T_excl = T_incl / om  # exclusive; om bounded away from 0
-            # T_incl is monotone nonincreasing down the chunk, so crossed
-            # rows form a suffix: crossed_before is just a shift by one
-            # (saves a log2(chunk)-pass scan)
-            crossed = (T_incl < 1e-4).astype(jnp.float32)
-            crossed_before = jnp.where(
-                sub >= 1, pltpu.roll(crossed, 1, 0), 0.0
-            )
-            applied = (
-                (dead == 0.0) & (crossed_before == 0.0) & (crossed == 0.0)
-            )
-            w = a * T_excl * applied  # (chunk, P)
-            feat = b[:, 8 : 8 + c_out]  # (chunk, c_out); pad cols are zero
-            acc = acc + jax.lax.dot_general(
-                feat, w, (((0,), (0,)), ((), ())),
+            dma(slot, c).wait()
+
+            def live_fn(state):
+                T_run, acc, dead = state
+                b = buf[slot]  # (chunk, ncols)
+                x = b[:, 0:1]
+                y = b[:, 1:2]
+                con_x = b[:, 2:3]
+                con_y = b[:, 3:4]
+                con_z = b[:, 4:5]
+                op = b[:, 5:6]
+
+                in_r = (s + c * chunk + row) < e  # rows past e: other tiles
+                dx = x - px  # (chunk, P)
+                dy = y - py
+                power = (
+                    -0.5 * (con_x * dx * dx + con_z * dy * dy)
+                    - con_y * dx * dy
+                )
+                alpha = jnp.minimum(0.99, op * jnp.exp(power))
+                a = jnp.where(
+                    (power > 0.0) | (alpha < (1.0 / 255.0)) | (~in_r),
+                    0.0, alpha,
+                )
+                om = 1.0 - a  # >= 0.01 wherever a > 0, == 1 where a == 0
+                cum = cumprod_sublanes(om)
+                # exclusive product = inclusive shifted down one row (top
+                # row = 1) — replaces the former per-element divide
+                # T_excl = T_incl/om (a divide costs ~10 VPU ops; the
+                # shift is one roll + one select on a constant mask)
+                cum_excl = jnp.where(sub >= 1, pltpu.roll(cum, 1, 0), 1.0)
+                T_excl = T_run * cum_excl  # (chunk, P)
+                T_incl = T_run * cum
+                # T_incl is monotone nonincreasing down the chunk, so
+                # crossed rows form a suffix: crossed_before is a shift
+                # by one (saves a log2(chunk)-pass scan)
+                crossed = (T_incl < 1e-4).astype(jnp.float32)
+                crossed_before = jnp.where(
+                    sub >= 1, pltpu.roll(crossed, 1, 0), 0.0
+                )
+                applied = (
+                    (dead == 0.0) & (crossed_before == 0.0)
+                    & (crossed == 0.0)
+                )
+                w = a * T_excl * applied  # (chunk, P)
+                feat = b[:, 8 : 8 + c_out]  # (chunk, c_out); pad cols zero
+                acc = acc + jax.lax.dot_general(
+                    feat, w, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (c_out, P)
+                # T after this chunk = T_incl at the LAST applied row;
+                # T_incl is monotone nonincreasing over applied rows, so a
+                # min-reduce gets it (reduce_prod has no Mosaic lowering)
+                T_run = jnp.min(
+                    jnp.where(applied, T_incl, T_run), axis=0, keepdims=True
+                )
+                any_crossed = (
+                    jnp.max(
+                        crossed + crossed_before, axis=0, keepdims=True
+                    ) > 0
+                ).astype(jnp.float32)
+                dead = jnp.maximum(dead, any_crossed)
+                if with_contrib:
+                    # per-pixel count of pre-termination positions (the
+                    # reference's last_contributor, backward.cu:431-441);
+                    # `applied` is a monotone prefix mask per pixel
+                    return (T_run, acc, dead,
+                            cnt + jnp.sum(
+                                applied.astype(jnp.float32), axis=0,
+                                keepdims=True))
+                return (T_run, acc, dead)
+
+            new = live_fn((T_run, acc, dead))
+            return (c + 1,) + new
+
+        def cond(state, nch=nch):
+            c, dead = state[0], state[3]
+            # stop as soon as every pixel crossed: saves both the compute
+            # AND the remaining chunk DMAs (opaque scenes terminate after
+            # a few hundred entries of multi-thousand-entry tiles). The
+            # chunk c+1 DMA already in flight at exit is torn down below.
+            return (c < nch) & (jnp.sum(1.0 - dead) > 0)
+
+        T0 = jnp.ones((1, p), jnp.float32)
+        acc0 = jnp.zeros((c_out, p), jnp.float32)
+        dead0 = jnp.zeros((1, p), jnp.float32)
+        init = (jnp.int32(0), T0, acc0, dead0)
+        if with_contrib:
+            init = init + (jnp.zeros((1, p), jnp.float32),)
+        fin = jax.lax.while_loop(cond, body, init)
+        c_end, T_run, acc = fin[0], fin[1], fin[2]
+        if with_contrib:
+            cnt_fin = fin[4]
+        # drain the prefetch-ahead-1 DMA if the loop exited early with
+        # chunk c_end's copy in flight (body starts c+1 before compute)
+        @pl.when((c_end < nch) & (c_end > 0))
+        def _():
+            dma(jax.lax.rem(c_end, 2), c_end).wait()
+        if downscale == 1:
+            out_ref[j] = acc
+            out_ref[j, c_out - 1 : c_out, :] = T_run
+            if with_contrib:
+                out_ref[j, c_out - 2 : c_out - 1, :] = cnt_fin
+        else:
+            # fused 2x2-mean downscale: one (P, P/4) 0.25-selection matmul
+            # — compositing is linear, so downsampling acc and T
+            # separately is exact (final = acc_down + T_down * bg)
+            d = downscale
+            ox = tile_x // d
+            pq = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+            qy = (pq // tile_x) // d
+            qx = (pq % tile_x) // d
+            q_of_p = qy * ox + qx  # (p, 1)
+            qcol = jax.lax.broadcasted_iota(
+                jnp.int32, (p, p // (d * d)), 1)
+            D = jnp.where(q_of_p == qcol, 1.0 / (d * d), 0.0)
+            out_ref[j] = jax.lax.dot_general(
+                acc, D, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
-            )  # (c_out, P)
-            # T after this chunk = T_incl at the LAST applied row; T_incl is
-            # monotone nonincreasing over applied rows, so a min-reduce gets
-            # it (reduce_prod has no Mosaic lowering)
-            T_run = jnp.min(
-                jnp.where(applied, T_incl, T_run), axis=0, keepdims=True
             )
-            any_crossed = (
-                jnp.max(
-                    crossed + crossed_before, axis=0, keepdims=True
-                ) > 0
-            ).astype(jnp.float32)
-            dead = jnp.maximum(dead, any_crossed)
-            return (T_run, acc, dead)
-
-        alive = jnp.sum(1.0 - dead) > 0
-        return jax.lax.cond(alive, live_fn, lambda st: st, state)
-
-    T0 = jnp.ones((1, p), jnp.float32)
-    acc0 = jnp.zeros((c_out, p), jnp.float32)
-    dead0 = jnp.zeros((1, p), jnp.float32)
-    T_run, acc, _ = jax.lax.fori_loop(0, nch, body, (T0, acc0, dead0))
-    if downscale == 1:
-        out_ref[0] = acc
-        out_ref[0, c_out - 1 : c_out, :] = T_run
-    else:
-        # fused 2x2-mean downscale: one (P, P/4) 0.25-selection matmul —
-        # compositing is linear, so downsampling acc and T separately is
-        # exact (final = acc_down + T_down * bg downstream)
-        d = downscale
-        ox = tile_x // d
-        pq = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
-        qy = (pq // tile_x) // d
-        qx = (pq % tile_x) // d
-        q_of_p = qy * ox + qx  # (p, 1)
-        qcol = jax.lax.broadcasted_iota(jnp.int32, (p, p // (d * d)), 1)
-        D = jnp.where(q_of_p == qcol, 1.0 / (d * d), 0.0)
-        out_ref[0] = jax.lax.dot_general(
-            acc, D, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        out_ref[0, c_out - 1 : c_out, :] = jax.lax.dot_general(
-            T_run, D, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+            out_ref[j, c_out - 1 : c_out, :] = jax.lax.dot_general(
+                T_run, D, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
 
 
 # --------------------------------------------------------------------------
@@ -504,7 +625,8 @@ def _stream_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_tiles", "grid_x", "config", "channels", "interpret"),
+    static_argnames=("num_tiles", "grid_x", "config", "channels", "interpret",
+                     "stage"),
 )
 def blend_stream(
     prep: R.Preprocessed,
@@ -514,10 +636,14 @@ def blend_stream(
     config: R.RasterizeConfig,
     channels: int,
     interpret: bool = False,
+    stage: str = "full",
 ):
     """Bin + blend with the streaming kernel.
 
     Returns (out (num_tiles, P, C), final_T (num_tiles, P), overflow).
+    ``stage``: profiling-only prefix cut (see bin_sorted_stream; extra
+    values here: "bin" = binning complete, "kernel" = skip the
+    order->tile unpermute/composite epilogue).
     """
     p = config.tile_x * config.tile_y
     ds = config.downscale
@@ -525,9 +651,23 @@ def blend_stream(
     ch = config.chunk_size
     c_out = _round_up(channels + 1, 8)  # acc channels + final-T row
 
+    if stage not in ("full", "bin", "kernel"):
+        a, b, c = bin_sorted_stream(
+            prep, num_tiles, grid_x, config, stage=stage)
+        z = jnp.zeros((num_tiles, p_out, channels), jnp.float32)
+        probe = (a.reshape(-1)[0].astype(jnp.float32)
+                 + b.reshape(-1)[0].astype(jnp.float32))
+        return z.at[0, 0, 0].add(probe), z[:, :, 0], c
     stream, starts, overflow = bin_sorted_stream(
         prep, num_tiles, grid_x, config
     )
+    if stage == "bin":
+        z = jnp.zeros((num_tiles, p_out, channels), jnp.float32)
+        # barrier: the stream gather must materialize fully (a 1-element
+        # probe would shrink the gather itself under DCE)
+        sb, stb = jax.lax.optimization_barrier((stream, starts))
+        probe = sb.reshape(-1)[0] + stb[0].astype(jnp.float32)
+        return z.at[0, 0, 0].add(probe), z[:, :, 0], overflow
     ncols = stream.shape[1]
 
     counts = starts[1:] - starts[:-1]
@@ -536,14 +676,22 @@ def blend_stream(
     if n_grid < num_tiles:
         # tiles beyond the grid budget never render: count as overflow
         overflow = overflow + jnp.sum(counts[order[n_grid:]])
-    order_g = order[:n_grid]
+    tps = max(1, config.tiles_per_step)
+    n_pad = _round_up(n_grid, tps)
+    # padded order slots point at tile id num_tiles, whose (empty) range
+    # comes from the extra starts row appended below
+    order_g = jnp.concatenate(
+        [order[:n_grid],
+         jnp.full((n_pad - n_grid,), num_tiles, jnp.int32)]
+    )
+    starts_k = jnp.concatenate([starts, starts[-1:]])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_grid,),
+        grid=(n_pad // tps,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
-            (1, c_out, p_out), lambda i, *_: (i, 0, 0),
+            (tps, c_out, p_out), lambda i, *_: (i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -561,13 +709,18 @@ def blend_stream(
         c_out=c_out,
         channels=channels,
         downscale=ds,
+        tps=tps,
     )
     out_o = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_grid, c_out, p_out), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_pad, c_out, p_out), jnp.float32),
         interpret=interpret,
-    )(order_g, starts, stream)
+    )(order_g, starts_k, stream)
+    out_o = out_o[:n_grid]
+    if stage == "kernel":
+        return (out_o[:, :channels, :].transpose(0, 2, 1),
+                out_o[:, c_out - 1, :], overflow)
 
     # order space -> tile space via the INVERSE permutation: a gather of
     # num_tiles blocks instead of a scatter (XLA scatters at this size

@@ -68,9 +68,15 @@ class Trainer:
         self.ss = super_sample_rate
         self.weights = weights
         self.offset = offset
+        # impl="stream": on TPU the differentiable path routes to the
+        # custom_vjp replay-kernel backward (ops/rasterize_stream_vjp.py)
+        # — no max_chunks truncation; CPU falls back to the XLA scan
+        # (k_budget/max_active stay None here: demo scenes are small and
+        # the budgets are workload-specific — large-scene training passes
+        # an explicit raster_config, e.g. scripts/bench_train_step.py)
         self.config = raster_config or R.RasterizeConfig(
             max_dup_per_gaussian=16, chunk_size=64, tile_batch=8,
-            differentiable=True, max_chunks=16,
+            differentiable=True, max_chunks=16, impl="stream",
         )
         self.optimizer = optimizer or make_optimizer()
 
