@@ -57,13 +57,26 @@ from . import rasterize as R
 import os as _os
 
 _STREAM_BARRIER = _os.environ.get("GPCR_STREAM_BARRIER", "0") == "1"
-# barrier the (tile, gidx) emit outputs before the big sort: lax.sort is
-# multi-pass, and a fused emit producer can be re-evaluated per pass
-# (pitfall 7). A/B at the bench: prefix profiling says materialized
-# emit + sort ~14.5 ms vs ~19.2 fused.
-_SORT_BARRIER = _os.environ.get("GPCR_SORT_BARRIER", "1") == "1"
+# barrier the (tile, gidx) emit outputs before the big sort — measured a
+# WASH at the bench (the emit/sort cost is the transpose or lane waste,
+# not producer refusion); kept as an A/B toggle, default off.
+_SORT_BARRIER = _os.environ.get("GPCR_SORT_BARRIER", "0") == "1"
 _STARTS_METHOD = _os.environ.get("GPCR_STARTS_METHOD", "scan")
-_EMIT_LAYOUT = _os.environ.get("GPCR_EMIT_LAYOUT", "cn")  # cn | nc
+# emit layout (round-4 true-cost measurements, microbench_emit_true.py /
+# microbench_rank_sort.py, all D2H-timed at the bench shape):
+#   rank (default): emit (tile, DEPTH-RANK) keys in (cap, n) orientation
+#     and flatten slot-major (free — with unique 2-keys the sort input
+#     order is irrelevant), 2-key sort the pair (4.4 ms, same price as
+#     1-key), and gather the stream from a rank-ordered packed table
+#     (one 800Kx128 PERMUTATION gather, ~0.3 ms — permutations are ~20x
+#     cheaper than random gathers on this chip). Composed: 5.3 ms where
+#     cn/nc measure 15.5.
+#   cn: g-major via (cap,n) emit + .T.reshape — the transpose costs
+#     ~8-10 ms (lane<->sublane relayout of 2x 12.8 MB).
+#   nc: g-major via (n,cap) emit — free reshape but the 4-lane ops pay
+#     ~32x VPU lane waste (~6.6 ms). Both legacy layouts need the STABLE
+#     1-key sort (g-major input carries the depth tie-break).
+_EMIT_LAYOUT = _os.environ.get("GPCR_EMIT_LAYOUT", "rank")  # rank|cn|nc
 _UNPERM = _os.environ.get("GPCR_UNPERM", "gather")  # gather | scatter
 # exact per-tile cull (cn layout only): drop (splat, tile) entries whose
 # max alpha over the tile's pixel rect is < 1/255 — the blend skips those
@@ -231,6 +244,18 @@ def bin_sorted_stream(
         return (jax.lax.optimization_barrier(packed),
                 jnp.zeros((1,), jnp.int32), jnp.int32(0))
 
+    rank_mode = _EMIT_LAYOUT == "rank" and not cull
+    if rank_mode:
+        # depth-rank-ordered copy of the table: entries then carry RANK
+        # (their gaussian's presort position) instead of the original
+        # index, making (tile, rank) a UNIQUE 2-key whose sort order is
+        # exactly the CUB (tile | depth) order with no stability
+        # requirement — so the emit can flatten slot-major for free.
+        # A permutation gather of (n+1, 128) measures ~0.3 ms (~20x
+        # cheaper than a random gather of the same shape).
+        packed_rank = packed[jnp.concatenate(
+            [gidx_s, jnp.full((1,), n, jnp.int32)])]
+
     # 3. emit entries, (cap, n) orientation: the lane axis carries the
     # 800K gaussians (an (n, cap) layout would use cap of 128 lanes —
     # 32x VPU waste; transposing cut the emit from ~7 ms to ~1 ms)
@@ -271,7 +296,8 @@ def bin_sorted_stream(
         packed_rect = (rminx_s * (1 << 16) + rminy_s * (1 << 8)
                        + jnp.minimum(rw[0], cap)).astype(jnp.int32)
         rect_f2 = fill(packed_rect)
-        g_fill = fill(gidx_s)
+        g_fill = fill(jnp.arange(n, dtype=jnp.int32) if rank_mode
+                      else gidx_s)
         k_local = jnp.arange(kb, dtype=jnp.int32) - fill(cum)
         rminx_f = rect_f2 >> 16
         rminy_f = (rect_f2 >> 8) & 0xFF
@@ -285,6 +311,23 @@ def bin_sorted_stream(
             live, (rminy_f + kdiv) * grid_x + (rminx_f + kmod), num_tiles
         ).astype(jnp.int32)
         g_flat = jnp.where(live, g_fill, n)
+    elif rank_mode:
+        # ---- rank emit (default): (cap, n) math, slot-major flatten ----
+        k = jax.lax.broadcasted_iota(jnp.int32, (cap, n), 0)
+        kdiv = jnp.zeros((cap, n), jnp.int32)
+        for j in range(1, cap):
+            kdiv = kdiv + (k >= j * rw).astype(jnp.int32)
+        kmod = k - kdiv * rw
+        ty = rminy_s[None, :] + kdiv
+        tx = rminx_s[None, :] + kmod
+        dup_valid = valid_s & (k < area)
+        tile_flat = jnp.where(
+            dup_valid, ty * grid_x + tx, num_tiles
+        ).astype(jnp.int32).reshape(-1)
+        g_flat = jnp.where(
+            dup_valid,
+            jax.lax.broadcasted_iota(jnp.int32, (cap, n), 1), n,
+        ).reshape(-1)
     elif _EMIT_LAYOUT == "cn":
         k = jax.lax.broadcasted_iota(jnp.int32, (cap, n), 0)
         # k // rw and k % rw without integer division (no native int
@@ -371,14 +414,21 @@ def bin_sorted_stream(
         tf, gf = jax.lax.optimization_barrier((tile_flat, g_flat))
         return (tf, gf, jnp.int32(0))
 
-    # 4. THE sort: STABLE single-key i32 over depth-ordered input — the
-    # CUB stable-radix (tile | depth-bits) tie-break semantics, exactly
-    # (rasterizer_impl.cu:300-308). Two arrays: a third sort operand
-    # (e.g. an explicit depth-rank key) measured ~5x slower than the
-    # stable 2-array form (scripts/ablate_stream.py: 9.4 vs 1.9 ms).
-    sorted_tile, sorted_g = jax.lax.sort(
-        (tile_flat, g_flat), num_keys=1, is_stable=True
-    )
+    # 4. THE sort. rank mode: (tile, rank) pairs are UNIQUE (a gaussian
+    # never emits one tile twice), so an unstable 2-key sort is
+    # deterministic and reproduces the CUB (tile | depth-bits) order
+    # exactly (rasterizer_impl.cu:300-308) — ranks are presort (depth,
+    # gidx) positions. Legacy layouts feed gaussian-major input and rely
+    # on the STABLE 1-key sort for the depth tie-break. Measured: 2-key
+    # costs the same as 1-key (4.4 vs 3.8-4.5 ms at 3.2M).
+    if rank_mode:
+        sorted_tile, sorted_g = jax.lax.sort(
+            (tile_flat, g_flat), num_keys=2
+        )
+    else:
+        sorted_tile, sorted_g = jax.lax.sort(
+            (tile_flat, g_flat), num_keys=1, is_stable=True
+        )
     if stage == "sort":
         return (sorted_tile, sorted_g, jnp.int32(0))
     # count SURVIVING entries (post-cull) against the budget; the
@@ -400,15 +450,18 @@ def bin_sorted_stream(
     if stage == "starts":
         return (sorted_g, jax.lax.optimization_barrier(starts), overflow)
 
-    # 5. stream gather in sorted-entry order straight from the original
-    # table (sentinel payloads produce inert zero rows, so the kernel's
-    # chunk slack comes from gathering kb + chunk rows, no extra copy)
+    # 5. stream gather in sorted-entry order (sentinel payloads produce
+    # inert zero rows, so the kernel's chunk slack comes from gathering
+    # kb + chunk rows, no extra copy). rank mode gathers from the
+    # rank-ordered table with rank indices; legacy from the original.
     sorted_g = jnp.concatenate(
         [sorted_g, jnp.full((ch,), n, jnp.int32)], axis=0
     )[: kb + ch]
-    stream = packed[sorted_g]  # (kb + chunk, 128)
+    stream = (packed_rank if rank_mode else packed)[sorted_g]
     if return_entries:
-        return stream, starts, overflow, sorted_g
+        # (entry indices, index->original-gaussian map or None)
+        return (stream, starts, overflow, sorted_g,
+                gidx_s if rank_mode else None)
     return stream, starts, overflow
 
 

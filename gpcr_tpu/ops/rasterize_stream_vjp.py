@@ -287,7 +287,7 @@ def _fwd_impl(num_tiles, grid_x, config, channels, interpret, diff, aux):
     c_out = _round_up(channels + 2, 8)  # acc + n_contrib + final-T rows
 
     prep = _make_prep(diff, aux)
-    stream, starts, overflow, sorted_g = S.bin_sorted_stream(
+    stream, starts, overflow, sorted_g, g_map = S.bin_sorted_stream(
         prep, num_tiles, grid_x, config, return_entries=True)
     ncols = stream.shape[1]
 
@@ -339,8 +339,8 @@ def _fwd_impl(num_tiles, grid_x, config, channels, interpret, diff, aux):
     acc = out_t[:, :channels, :].transpose(0, 2, 1)
     out = acc + t_run[..., None] * diff["bg"][None, None, :]
     res = dict(stream=stream, starts=starts, order_g=order_g,
-               sorted_g=sorted_g, t_run=t_run, n_contrib=n_contrib,
-               bg=diff["bg"],
+               sorted_g=sorted_g, g_map=g_map, t_run=t_run,
+               n_contrib=n_contrib, bg=diff["bg"],
                feat_proto=jnp.zeros((diff["mean2d"].shape[0], 0),
                                     diff["features"].dtype))
     return out, t_run, overflow, res
@@ -441,6 +441,12 @@ def _blend_core_bwd(num_tiles, grid_x, config, channels, interpret,
 
     per_g = jnp.zeros((n + 1, cols), jnp.float32).at[gsafe].add(grows)
     per_g = per_g[:n]
+    if res.get("g_map") is not None:
+        # rank-keyed binning: rows are per-RANK; permute back to the
+        # original gaussian order (rank r belongs to gaussian g_map[r])
+        rank_of = jnp.zeros((n,), jnp.int32).at[res["g_map"]].set(
+            jnp.arange(n, dtype=jnp.int32))
+        per_g = per_g[rank_of]
     d_diff = dict(
         mean2d=per_g[:, 0:2],
         conic=per_g[:, 2:5],

@@ -121,6 +121,8 @@ def test_tile_cull_is_exact_and_nonvacuous(monkeypatch):
     config = R.RasterizeConfig(max_dup_per_gaussian=32, chunk_size=64)
 
     outs, counts = {}, {}
+    # the cull is implemented on the legacy cn emit layout only
+    monkeypatch.setattr(RS, "_EMIT_LAYOUT", "cn")
     for flag in (True, False):
         monkeypatch.setattr(RS, "_TILE_CULL", flag)
         out, _, extra = rasterize_gaussians_stream(
@@ -177,3 +179,32 @@ def test_compact_emit_matches_dense(monkeypatch):
         config=config._replace(k_budget=None),
     )
     np.testing.assert_allclose(outs["1"], np.asarray(ref), atol=1e-5)
+
+
+def test_rank_emit_matches_legacy_layouts(monkeypatch):
+    """The rank-keyed binning (slot-major emit + unique 2-key sort +
+    rank-permuted table, the round-4 default) must reproduce the legacy
+    gaussian-major stable-sort layouts bit-exactly: (tile, rank) order
+    == the CUB (tile | depth) order because ranks are presort (depth,
+    gidx) positions."""
+    import gpcr_tpu.ops.rasterize_stream as RS
+
+    means, scales, rots, op, feats, valid, settings = scene(seed=13)
+    scales = scales.at[:, 0].multiply(3.0)
+    config = R.RasterizeConfig(
+        max_dup_per_gaussian=16, chunk_size=64, k_budget=8192,
+    )
+
+    outs = {}
+    for layout in ("rank", "cn", "nc"):
+        monkeypatch.setattr(RS, "_EMIT_LAYOUT", layout)
+        monkeypatch.setattr(RS, "_EMIT_COMPACT", "0")
+        out, _, extra = rasterize_gaussians_stream(
+            means, op, settings, scales=scales, rotations=rots,
+            colors_precomp=feats, valid_mask=valid, config=config,
+            interpret=True, return_extra=True,
+        )
+        assert int(extra["dup_overflow"]) == 0, layout
+        outs[layout] = np.asarray(out)
+    np.testing.assert_array_equal(outs["rank"], outs["cn"])
+    np.testing.assert_array_equal(outs["rank"], outs["nc"])
