@@ -171,7 +171,8 @@ def preprocess(
 # --------------------------------------------------------------------------
 
 
-def tile_bin(prep: Preprocessed, num_tiles: int, grid_x: int, config: RasterizeConfig):
+def tile_bin(prep: Preprocessed, num_tiles: int, grid_x: int, config: RasterizeConfig,
+             tile_window=None):
     """Duplicate each Gaussian into its tile rect (capped at
     max_dup_per_gaussian, row-major like duplicateWithKeys,
     rasterizer_impl.cu:70-111), then sort all (tile, depth) keys.
@@ -181,11 +182,24 @@ def tile_bin(prep: Preprocessed, num_tiles: int, grid_x: int, config: RasterizeC
     lax.sort over sentinels was the single largest binning cost). Budget
     overruns are counted in the returned overflow.
 
+    ``tile_window=(base, count)`` bins only tiles [base, base+count) in
+    LOCAL tile coordinates (entry tiles are remapped to tile-base; starts
+    has count+1 rows) — the per-shard binning of the tile-sharded
+    multi-chip path (parallel/render.py): every shard runs the same
+    elementwise emit over all gaussians but sorts/gathers only its own
+    slice of the entry list. ``base`` may be traced (shard_map axis
+    index); ``count`` must be static.
+
     Returns (sorted_gidx (K+chunk,), tile_starts (num_tiles+1,),
              overflow (scalar — duplications dropped by cap/budget)).
     """
     n = prep.depth.shape[0]
     cap = config.max_dup_per_gaussian
+    if tile_window is not None:
+        win_base, win_count = tile_window
+        num_tiles_out = win_count
+    else:
+        win_base, num_tiles_out = None, num_tiles
 
     rmin_x, rmin_y = prep.rect[:, 0], prep.rect[:, 1]
     rw = jnp.maximum(prep.rect[:, 2] - rmin_x, 1)
@@ -218,6 +232,12 @@ def tile_bin(prep: Preprocessed, num_tiles: int, grid_x: int, config: RasterizeC
         ).astype(jnp.int32)
         depth_flat = prep.depth[g_of_slot]
         gidx_flat = g_of_slot.astype(jnp.int32)
+        if win_base is not None:
+            local = (tile_flat >= win_base) & (
+                tile_flat < win_base + num_tiles_out)
+            tile_flat = jnp.where(
+                local, tile_flat - win_base, num_tiles_out
+            ).astype(jnp.int32)
     else:
         k = jnp.arange(cap, dtype=jnp.int32)
         ty = rmin_y[:, None] + k[None, :] // rw[:, None]
@@ -227,6 +247,12 @@ def tile_bin(prep: Preprocessed, num_tiles: int, grid_x: int, config: RasterizeC
             dup_valid, ty * grid_x + tx, num_tiles
         ).astype(jnp.int32)
         tile_flat = tile_id.reshape(-1)
+        if win_base is not None:
+            local = (tile_flat >= win_base) & (
+                tile_flat < win_base + num_tiles_out)
+            tile_flat = jnp.where(
+                local, tile_flat - win_base, num_tiles_out
+            ).astype(jnp.int32)
         depth_flat = jnp.broadcast_to(prep.depth[:, None], (n, cap)).reshape(-1)
         gidx_flat = jnp.broadcast_to(
             jnp.arange(n, dtype=jnp.int32)[:, None], (n, cap)
@@ -235,7 +261,8 @@ def tile_bin(prep: Preprocessed, num_tiles: int, grid_x: int, config: RasterizeC
     sorted_tile, _, sorted_gidx = jax.lax.sort(
         (tile_flat, depth_flat, gidx_flat), num_keys=2
     )
-    starts = jnp.searchsorted(sorted_tile, jnp.arange(num_tiles + 1), side="left")
+    starts = jnp.searchsorted(
+        sorted_tile, jnp.arange(num_tiles_out + 1), side="left")
     # pad so dynamic_slice in the blend never clamps
     sorted_gidx = jnp.concatenate(
         [sorted_gidx, jnp.full((config.chunk_size,), n, jnp.int32)]

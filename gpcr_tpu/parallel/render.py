@@ -38,9 +38,20 @@ def rasterize_tile_sharded(
 ):
     """Single-frame rasterization with tiles sharded over ``axis``.
 
-    Preprocess + binning run replicated (cheap relative to the blend);
-    each device blends num_tiles / axis_size tiles; the (C, H, W) image is
-    reassembled from the gathered tile shards.
+    Work distribution (measured shares of the single-chip frame in
+    PERFORMANCE.md round 4 — binning is ~2/3, so sharding it is what
+    makes tile-sharding scale):
+    - preprocess runs replicated: elementwise over N, ~2 ms of a ~50 ms
+      frame — not worth a collective;
+    - BINNING runs PER SHARD: every device executes the same elementwise
+      emit over all gaussians but keeps only entries whose tile falls in
+      its contiguous tile slice (R.tile_bin(tile_window=...)), so the
+      sort payload movement, the entry gather, and the starts table are
+      all local. No cross-device traffic: a tile's entries are fully
+      determined by the replicated preprocess;
+    - each device blends its num_tiles / axis_size tiles; the (C, H, W)
+      image is reassembled from the gathered tile shards (one
+      all_gather over ICI at assembly).
     """
     H, W = settings.image_height, settings.image_width
     grid_x = -(-W // config.tile_x)
@@ -48,17 +59,15 @@ def rasterize_tile_sharded(
     num_tiles = grid_x * grid_y
     n_shards = mesh.shape[axis]
     # pad the tile range so any device count works (e.g. 4096 tiles on 3
-    # devices): trailing shards blend a clamped duplicate tile whose output
-    # is sliced away at assembly
+    # devices): trailing shards bin+blend past-the-end tile ids that no
+    # entry matches (empty output rows, sliced away at assembly)
     tiles_local = -(-num_tiles // n_shards)
-    num_tiles_pad = tiles_local * n_shards
 
     prep = R.preprocess(
         means3d, opacities, settings, config,
         scales=scales, rotations=rotations, cov3d_precomp=cov3d_precomp,
         shs=shs, colors_precomp=colors_precomp, valid_mask=valid_mask,
     )
-    sorted_gidx, starts, overflow = R.tile_bin(prep, num_tiles, grid_x, config)
     channels = prep.features.shape[-1]
 
     packed_all = jnp.concatenate(
@@ -69,31 +78,36 @@ def rasterize_tile_sharded(
         [packed_all, jnp.zeros((1, 6 + channels))], axis=0
     )
 
-    replicated = P(*([None] * 1))
-
-    def shard_fn(packed_all, sorted_gidx, starts):
+    def shard_fn(packed_all, prep):
         d = jax.lax.axis_index(axis)
         base = d * tiles_local
+        # per-shard binning: local sort slice, local starts table
+        sorted_gidx, starts, ovf = R.tile_bin(
+            prep, num_tiles, grid_x, config,
+            tile_window=(base, tiles_local),
+        )
 
         def one(j):
-            tile_idx = jnp.minimum(base + j, num_tiles - 1).astype(jnp.int32)
             return R._blend_one_tile(
-                tile_idx, starts[tile_idx], starts[tile_idx + 1],
+                base + j, starts[j], starts[j + 1],
                 sorted_gidx, packed_all, grid_x, config, channels,
             )
 
         acc, t_run = jax.vmap(one)(jnp.arange(tiles_local))
-        return acc, t_run  # (tiles_local, P, C), (tiles_local, P)
+        # cap overflow is computed from replicated inputs (identical on
+        # every shard); k_budget overflow is per-shard. Report the max:
+        # exact for the cap term, conservative for per-shard budgets.
+        return acc, t_run, ovf[None]
 
-    other_axes = tuple(a for a in mesh.axis_names if a != axis)
     in_spec = P()
-    acc, t_run = shard_map(
+    acc, t_run, ovf = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(in_spec, in_spec, in_spec),
-        out_specs=(P(axis), P(axis)),
+        in_specs=(in_spec, in_spec),
+        out_specs=(P(axis), P(axis), P(axis)),
         check_vma=False,
-    )(packed_all, sorted_gidx, starts)
+    )(packed_all, prep)
+    overflow = jnp.max(ovf)
 
     # assemble (num_tiles, P, C) -> (C, H, W); drop clamp-padded tiles
     acc = acc[:num_tiles]
