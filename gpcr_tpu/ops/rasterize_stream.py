@@ -518,6 +518,11 @@ def _stream_kernel(
 
         px = ((t % grid_x) * tile_x + colp % tile_x).astype(jnp.float32)
         py = ((t // grid_x) * tile_y + colp // tile_x).astype(jnp.float32)
+        # NEGATIVE RESULT (round 4): factoring power as a (chunk,6)@(6,P)
+        # MXU matmul over the quadratic pixel basis (tile-local coords
+        # for f32 exactness) measured 53.9 vs 49.6 ms/frame — K=6
+        # matmuls waste the 128x128 systolic array and HIGHEST precision
+        # triples the passes; the elementwise VPU form wins.
 
         def dma(slot, c, s=s):
             return pltpu.make_async_copy(
@@ -576,16 +581,14 @@ def _stream_kernel(
                 T_excl = T_run * cum_excl  # (chunk, P)
                 T_incl = T_run * cum
                 # T_incl is monotone nonincreasing down the chunk, so
-                # crossed rows form a suffix: crossed_before is a shift
-                # by one (saves a log2(chunk)-pass scan)
-                crossed = (T_incl < 1e-4).astype(jnp.float32)
-                crossed_before = jnp.where(
-                    sub >= 1, pltpu.roll(crossed, 1, 0), 0.0
-                )
-                applied = (
-                    (dead == 0.0) & (crossed_before == 0.0)
-                    & (crossed == 0.0)
-                )
+                # crossed rows form a suffix: crossed[i-1] implies
+                # crossed[i], making the reference's separate
+                # crossed-before test redundant — the crossing row and
+                # everything after it are excluded by ~crossed alone
+                # (the crossing Gaussian is NOT composited,
+                # forward.cu:349-354)
+                crossed = T_incl < 1e-4
+                applied = (dead == 0.0) & ~crossed
                 w = a * T_excl * applied  # (chunk, P)
                 feat = b[:, 8 : 8 + c_out]  # (chunk, c_out); pad cols zero
                 acc = acc + jax.lax.dot_general(
@@ -599,11 +602,9 @@ def _stream_kernel(
                 T_run = jnp.min(
                     jnp.where(applied, T_incl, T_run), axis=0, keepdims=True
                 )
-                any_crossed = (
-                    jnp.max(
-                        crossed + crossed_before, axis=0, keepdims=True
-                    ) > 0
-                ).astype(jnp.float32)
+                any_crossed = jnp.max(
+                    crossed.astype(jnp.float32), axis=0, keepdims=True
+                )
                 dead = jnp.maximum(dead, any_crossed)
                 if with_contrib:
                     # per-pixel count of pre-termination positions (the
