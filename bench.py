@@ -42,6 +42,8 @@ def main():
                     help="stream-path grid budget on non-empty tiles "
                          "(0 = all tiles); empty grid steps cost ~1 us each "
                          "so halving the 16K grid saves ~8 ms")
+    ap.add_argument("--tps", type=int, default=4,
+                    help="tiles composited per kernel grid step")
     ap.add_argument("--views_per_dispatch", type=int, default=16,
                     help=">1 renders that many views inside ONE jit "
                          "(lax.map) and reports ms/frame = dispatch/views — "
@@ -106,7 +108,7 @@ def main():
         max_dup_per_gaussian=args.dup_cap, chunk_size=args.chunk, tile_batch=256,
         k_budget=k_budget or None,
         max_active_tiles=args.max_active or None,
-        impl=args.impl,
+        impl=args.impl, tiles_per_step=args.tps,
     )
 
     vpd = max(1, args.views_per_dispatch)

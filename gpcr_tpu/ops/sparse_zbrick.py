@@ -284,12 +284,14 @@ def brick_max_delta(plan: BrickPlan) -> jnp.ndarray:
 
 
 def to_bricks(feats_vox: jnp.ndarray, plan: BrickPlan) -> jnp.ndarray:
-    """(Nmax, C) voxel features -> (Bcap, Z, C) real-brick layout."""
+    """(Nmax, C) voxel features -> (Bcap, Z, C) real-brick layout.
+    (_wide_gather: sub-64-lane row gathers are 6x slower.)"""
     c = feats_vox.shape[1]
     fpad = jnp.concatenate(
         [feats_vox, jnp.zeros((1, c), feats_vox.dtype)], axis=0)
     z = plan.z
-    return fpad[plan.brick_src.reshape(-1)].reshape(plan.capacity, z, c)
+    return _wide_gather(
+        fpad, plan.brick_src.reshape(-1)).reshape(plan.capacity, z, c)
 
 
 def to_voxels(feats_b: jnp.ndarray, plan: BrickPlan,
@@ -299,7 +301,7 @@ def to_voxels(feats_b: jnp.ndarray, plan: BrickPlan,
     flat = jnp.concatenate(
         [feats_b.reshape(bcap * z, c), jnp.zeros((1, c), feats_b.dtype)],
         axis=0)
-    return flat[jnp.clip(plan.vox_slot[:nmax], 0, bcap * z)]
+    return _wide_gather(flat, jnp.clip(plan.vox_slot[:nmax], 0, bcap * z))
 
 
 def _to_dilated(feats_b: jnp.ndarray, plan: BrickPlan,
@@ -493,6 +495,22 @@ def brick_conv(
     return out
 
 
+def _wide_gather(table: jnp.ndarray, idx: jnp.ndarray,
+                 min_lanes: int = 64) -> jnp.ndarray:
+    """Row-gather with the table lane-padded to >= min_lanes.
+
+    The measured gather width law (round 4, microbench_gather_modes.py):
+    rows narrower than 64 f32 lanes gather at ~43 M rows/s vs ~250 M at
+    64/128 lanes — a 6x cliff. Zero-padding the source lanes is ~free
+    (one fused pad) and the output slices back to the real width.
+    """
+    cols = table.shape[-1]
+    if cols >= min_lanes:
+        return table[idx]
+    wide = jnp.pad(table, ((0, 0), (0, min_lanes - cols)))
+    return wide[idx][..., :cols]
+
+
 def build_kernel_map_bricks(grid: sparse.SparseGrid,
                             plan: BrickPlan) -> jnp.ndarray:
     """EXACT replacement for sparse.build_kernel_map(grid, 3) built from
@@ -511,10 +529,12 @@ def build_kernel_map_bricks(grid: sparse.SparseGrid,
     nmax = grid.capacity
     dcap = plan.dcapacity
 
-    # brick_src lifted to dilated space (ghost bricks -> all-miss rows)
+    # brick_src lifted to dilated space (ghost bricks -> all-miss rows);
+    # _wide_gather: these tables are 4/6/27 lanes — far under the 64-lane
+    # gather cliff (6x slower rows) without padding
     flat = jnp.concatenate(
         [plan.brick_src, jnp.full((1, z), nmax, jnp.int32)], axis=0)
-    src_d = flat[jnp.minimum(plan.d2r, bcap)]  # (Dcap, Z)
+    src_d = _wide_gather(flat, jnp.minimum(plan.d2r, bcap))  # (Dcap, Z)
     top = src_d[:, z - 1:]
     bot = src_d[:, :1]
     below = jnp.where(
@@ -530,7 +550,7 @@ def build_kernel_map_bricks(grid: sparse.SparseGrid,
         [ext_src, jnp.full((1, z + 2), nmax, jnp.int32)], axis=0)
 
     # per (brick, column) z-extended source rows: (Bcap, 9, Z+2)
-    g9 = ext_src[plan.bkmap9]
+    g9 = _wide_gather(ext_src, plan.bkmap9)
 
     # slot-level kmap: for z-row r the dz in {-1,0,1} taps read ext rows
     # r..r+2 (static slices); axis order must be ME HYPER_CUBE x-fastest
@@ -545,4 +565,4 @@ def build_kernel_map_bricks(grid: sparse.SparseGrid,
         [kmap_slots, jnp.full((1, 27), nmax, jnp.int32)], axis=0)
 
     vs = jnp.minimum(plan.vox_slot, bcap * z)
-    return kmap_slots[vs]  # (Nmax, 27)
+    return _wide_gather(kmap_slots, vs)  # (Nmax, 27)
