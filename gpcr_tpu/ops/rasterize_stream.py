@@ -98,6 +98,13 @@ _TILE_CULL = _os.environ.get("GPCR_TILE_CULL", "0") == "1"
 # gaussian-major order into the same stable sort); in the overflow regime
 # the dropped entries differ (depth-tail vs tile-tail) — both warned.
 _EMIT_COMPACT = _os.environ.get("GPCR_EMIT_COMPACT", "auto")
+# kernel transmittance scan: "two" = two-level (in-vreg 8-sublane scan
+# + cross-vreg group scan on a chunk/8-row array, ~13 VPU ops/element) vs
+# "flat" = single-level shift scan (log2(chunk) steps, ~24 ops/element).
+# MEASURED round 4 at the bench shape: flat 49.2 vs two 50.8 ms/frame —
+# the op-count model does not predict Mosaic's lowering here (the
+# reshape/slice relayouts eat the two-level savings); default flat.
+_SCAN_MODE = _os.environ.get("GPCR_SCAN", "flat")
 
 
 def _round_up(x, m):
@@ -255,6 +262,11 @@ def bin_sorted_stream(
         # cheaper than a random gather of the same shape).
         packed_rank = packed[jnp.concatenate(
             [gidx_s, jnp.full((1,), n, jnp.int32)])]
+        if _STREAM_BARRIER:
+            # pitfall 7: packed_rank is itself a gather — without a
+            # barrier XLA may fuse it as a producer into the big stream
+            # gather and re-evaluate the permutation per stream row
+            packed_rank = jax.lax.optimization_barrier(packed_rank)
 
     # 3. emit entries, (cap, n) orientation: the lane axis carries the
     # 800K gaussians (an (n, cap) layout would use cap of 128 lanes —
@@ -475,8 +487,8 @@ def _stream_kernel(
     starts_ref,  # scalar prefetch: (num_tiles+2,) i32 entry offsets
     stream_hbm,  # (kb + chunk, ncols) f32, ANY (stays in HBM)
     out_ref,  # (tps, c_out, P) f32 VMEM — rows [:C]=acc, row c_out-1 = T
-    buf,  # VMEM scratch (2, chunk, ncols) — double buffer
-    sems,  # DMA semaphores (2,)
+    buf,  # VMEM scratch (tps, 2, chunk, ncols) — per-tile double buffers
+    sems,  # DMA semaphores (tps, 2)
     *,
     grid_x: int,
     tile_x: int,
@@ -498,7 +510,29 @@ def _stream_kernel(
 
     def cumprod_sublanes(x):
         """Inclusive cumulative product along the sublane axis — the same
-        shift pattern with multiplies, avoiding the log/exp round-trip."""
+        shift pattern with multiplies, avoiding the log/exp round-trip.
+
+        Two-level mode (default): scan WITHIN each 8-sublane vreg row
+        (3 steps, in-vreg rotates) then scan the per-group products on a
+        (chunk/8, P) array (log2(chunk/8) steps on 1/8 the elements) and
+        broadcast the exclusive group prefixes back — ~13 VPU
+        ops/element vs ~24 for the flat log2(chunk)-step scan whose
+        every roll crosses vreg boundaries.
+        """
+        if _SCAN_MODE == "two" and chunk % 8 == 0 and chunk >= 16:
+            G = chunk // 8
+            x3 = x.reshape(G, 8, p)
+            s8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1)
+            for sh in (1, 2, 4):
+                x3 = x3 * jnp.where(s8 >= sh, pltpu.roll(x3, sh, 1), 1.0)
+            g = x3[:, 7, :]  # (G, P) inclusive per-group products
+            gi = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0)
+            sh = 1
+            while sh < G:
+                g = g * jnp.where(gi >= sh, pltpu.roll(g, sh, 0), 1.0)
+                sh *= 2
+            ge = jnp.where(gi >= 1, pltpu.roll(g, 1, 0), 1.0)  # exclusive
+            return (x3 * ge[:, None, :]).reshape(chunk, p)
         shift = 1
         while shift < chunk:
             rolled = pltpu.roll(x, shift, 0)
@@ -510,12 +544,39 @@ def _stream_kernel(
     # per-step cost (launch + output-block write) amortizes tps-fold.
     # Padded order entries carry tile id == num_tiles, whose starts row
     # (starts_ref is padded by one) yields an empty range -> background.
+    #
+    # v8 DMA schedule: most tiles at the deployed shapes hold <= 1-2
+    # chunks, so an in-walk double buffer has nothing to overlap and
+    # every tile's first chunk exposed the full HBM round-trip (~4752
+    # exposed latencies/frame). Instead the step PROLOGUE issues chunk 0
+    # and chunk 1 for ALL tps tiles up front (each tile owns its buffer
+    # pair buf[j]); the walk then waits chunk c, computes, and issues
+    # chunk c+2 into the just-freed slot — tile j's first wait is
+    # covered by tiles 0..j-1's compute.
+    infos = []
     for j in range(tps):
         t = order_ref[i * tps + j]
         s = starts_ref[t]
         e = starts_ref[t + 1]
-        nch = (e - s + chunk - 1) // chunk
+        infos.append((t, s, e, (e - s + chunk - 1) // chunk))
 
+    def dma(j, slot, c, s):
+        return pltpu.make_async_copy(
+            stream_hbm.at[pl.ds(s + c * chunk, chunk), :],
+            buf.at[j, slot],
+            sems.at[j, slot],
+        )
+
+    for j, (t, s, e, nch) in enumerate(infos):
+        @pl.when(nch > 0)
+        def _(j=j, s=s):
+            dma(j, 0, 0, s).start()
+
+        @pl.when(nch > 1)
+        def _(j=j, s=s):
+            dma(j, 1, 1, s).start()
+
+    for j, (t, s, e, nch) in enumerate(infos):
         px = ((t % grid_x) * tile_x + colp % tile_x).astype(jnp.float32)
         py = ((t // grid_x) * tile_y + colp // tile_x).astype(jnp.float32)
         # NEGATIVE RESULT (round 4): factoring power as a (chunk,6)@(6,P)
@@ -524,18 +585,7 @@ def _stream_kernel(
         # matmuls waste the 128x128 systolic array and HIGHEST precision
         # triples the passes; the elementwise VPU form wins.
 
-        def dma(slot, c, s=s):
-            return pltpu.make_async_copy(
-                stream_hbm.at[pl.ds(s + c * chunk, chunk), :],
-                buf.at[slot],
-                sems.at[slot],
-            )
-
-        @pl.when(nch > 0)
-        def _():
-            dma(0, 0).start()
-
-        def body(state, s=s, e=e, nch=nch, dma=dma):
+        def body(state, j=j, s=s, e=e, nch=nch):
             if with_contrib:
                 c, T_run, acc, dead, cnt = state
             else:
@@ -543,32 +593,32 @@ def _stream_kernel(
                 cnt = None
             slot = jax.lax.rem(c, 2)
 
-            @pl.when(c + 1 < nch)
-            def _():
-                dma(jax.lax.rem(c + 1, 2), c + 1).start()
-
-            dma(slot, c).wait()
+            dma(j, slot, c, s).wait()
 
             def live_fn(state):
                 T_run, acc, dead = state
-                b = buf[slot]  # (chunk, ncols)
+                b = buf[j, slot]  # (chunk, ncols)
                 x = b[:, 0:1]
                 y = b[:, 1:2]
-                con_x = b[:, 2:3]
-                con_y = b[:, 3:4]
-                con_z = b[:, 4:5]
+                # conics pre-scaled on the (chunk, 1) columns (1/P the
+                # elements — free) so the per-pixel power is a 7-op
+                # Horner form in the exp2 domain: alpha = op·exp(power)
+                # = op·exp2(p2) with p2 = log2e·power
+                log2e = 1.4426950408889634
+                cxs = b[:, 2:3] * (-0.5 * log2e)
+                cys = b[:, 3:4] * (-log2e)
+                czs = b[:, 4:5] * (-0.5 * log2e)
                 op = b[:, 5:6]
 
                 in_r = (s + c * chunk + row) < e  # rows past e: other tiles
                 dx = x - px  # (chunk, P)
                 dy = y - py
-                power = (
-                    -0.5 * (con_x * dx * dx + con_z * dy * dy)
-                    - con_y * dx * dy
-                )
-                alpha = jnp.minimum(0.99, op * jnp.exp(power))
+                p2 = (cxs * dx + cys * dy) * dx + (czs * dy) * dy
+                alpha = jnp.minimum(0.99, op * jnp.exp2(p2))
+                # p2 > 0 ⇔ power > 0 (positive scale; q(d) is bounded
+                # away from 0 except at d = 0 where both are exactly 0)
                 a = jnp.where(
-                    (power > 0.0) | (alpha < (1.0 / 255.0)) | (~in_r),
+                    (p2 > 0.0) | (alpha < (1.0 / 255.0)) | (~in_r),
                     0.0, alpha,
                 )
                 om = 1.0 - a  # >= 0.01 wherever a > 0, == 1 where a == 0
@@ -578,34 +628,41 @@ def _stream_kernel(
                 # T_excl = T_incl/om (a divide costs ~10 VPU ops; the
                 # shift is one roll + one select on a constant mask)
                 cum_excl = jnp.where(sub >= 1, pltpu.roll(cum, 1, 0), 1.0)
-                T_excl = T_run * cum_excl  # (chunk, P)
-                T_incl = T_run * cum
-                # T_incl is monotone nonincreasing down the chunk, so
+                # T_run factors out of T_incl/T_excl: test the crossing
+                # against thr = 1e-4/T_run (one (1,P) divide) and scale
+                # the feature matmul output by T_run instead of w —
+                # neither T_incl nor T_excl is ever materialized.
+                # cum is monotone nonincreasing down the chunk, so
                 # crossed rows form a suffix: crossed[i-1] implies
                 # crossed[i], making the reference's separate
                 # crossed-before test redundant — the crossing row and
                 # everything after it are excluded by ~crossed alone
                 # (the crossing Gaussian is NOT composited,
                 # forward.cu:349-354)
-                crossed = T_incl < 1e-4
+                thr = 1e-4 / T_run  # T_run > 0 always (>= ~1e-4 alive)
+                crossed = cum < thr
                 applied = (dead == 0.0) & ~crossed
-                w = a * T_excl * applied  # (chunk, P)
+                w = a * cum_excl * applied  # (chunk, P)
                 feat = b[:, 8 : 8 + c_out]  # (chunk, c_out); pad cols zero
-                acc = acc + jax.lax.dot_general(
+                acc = acc + T_run * jax.lax.dot_general(
                     feat, w, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
                 )  # (c_out, P)
+                # crossing detection: cum monotone ⇒ crossed anywhere in
+                # the chunk ⇔ crossed at the LAST row (one (1,P) compare
+                # instead of a (chunk,P) max-reduce)
+                dead = jnp.maximum(
+                    dead,
+                    (cum[chunk - 1 : chunk, :] < thr).astype(jnp.float32),
+                )
                 # T after this chunk = T_incl at the LAST applied row;
-                # T_incl is monotone nonincreasing over applied rows, so a
-                # min-reduce gets it (reduce_prod has no Mosaic lowering)
-                T_run = jnp.min(
-                    jnp.where(applied, T_incl, T_run), axis=0, keepdims=True
+                # cum is monotone nonincreasing over applied rows, so a
+                # min-reduce gets it (reduce_prod has no Mosaic lowering);
+                # empty applied set -> fill 1.0 -> T_run unchanged
+                T_run = T_run * jnp.min(
+                    jnp.where(applied, cum, 1.0), axis=0, keepdims=True
                 )
-                any_crossed = jnp.max(
-                    crossed.astype(jnp.float32), axis=0, keepdims=True
-                )
-                dead = jnp.maximum(dead, any_crossed)
                 if with_contrib:
                     # per-pixel count of pre-termination positions (the
                     # reference's last_contributor, backward.cu:431-441);
@@ -617,6 +674,15 @@ def _stream_kernel(
                 return (T_run, acc, dead)
 
             new = live_fn((T_run, acc, dead))
+
+            # issue chunk c+2 into the slot just consumed (program order
+            # puts the start after every read of buf[j, slot] above, so
+            # the DMA cannot race the VPU reads); its latency hides
+            # behind chunk c+1's compute
+            @pl.when(c + 2 < nch)
+            def _():
+                dma(j, slot, c + 2, s).start()
+
             return (c + 1,) + new
 
         def cond(state, nch=nch):
@@ -624,7 +690,7 @@ def _stream_kernel(
             # stop as soon as every pixel crossed: saves both the compute
             # AND the remaining chunk DMAs (opaque scenes terminate after
             # a few hundred entries of multi-thousand-entry tiles). The
-            # chunk c+1 DMA already in flight at exit is torn down below.
+            # chunks already in flight at exit are torn down below.
             return (c < nch) & (jnp.sum(1.0 - dead) > 0)
 
         T0 = jnp.ones((1, p), jnp.float32)
@@ -637,11 +703,17 @@ def _stream_kernel(
         c_end, T_run, acc = fin[0], fin[1], fin[2]
         if with_contrib:
             cnt_fin = fin[4]
-        # drain the prefetch-ahead-1 DMA if the loop exited early with
-        # chunk c_end's copy in flight (body starts c+1 before compute)
-        @pl.when((c_end < nch) & (c_end > 0))
+        # drain in-flight DMAs on early exit: iterations consumed chunks
+        # < c_end and the issue-ahead keeps chunks c_end and c_end+1 (if
+        # they exist) in flight — wait both before their slots are reused
+        # by the next tile/step
+        @pl.when(c_end < nch)
         def _():
-            dma(jax.lax.rem(c_end, 2), c_end).wait()
+            dma(j, jax.lax.rem(c_end, 2), c_end, s).wait()
+
+        @pl.when(c_end + 1 < nch)
+        def _():
+            dma(j, jax.lax.rem(c_end + 1, 2), c_end + 1, s).wait()
         if downscale == 1:
             out_ref[j] = acc
             out_ref[j, c_out - 1 : c_out, :] = T_run
@@ -749,8 +821,8 @@ def blend_stream(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, ch, ncols), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((tps, 2, ch, ncols), jnp.float32),
+            pltpu.SemaphoreType.DMA((tps, 2)),
         ],
     )
     kernel = functools.partial(

@@ -91,25 +91,51 @@ def _bwd_kernel(
     colp = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
     colc = jax.lax.broadcasted_iota(jnp.int32, (chunk, ncols), 1)
 
-    def suffix_prod(x):
-        """Inclusive suffix product along sublanes: sp_i = prod_{k>=i}.
-        (rolls use the positive equivalent chunk-shift of a -shift roll)"""
+    two_level = S._SCAN_MODE == "two" and chunk % 8 == 0 and chunk >= 16
+
+    def _suffix_scan(x, combine, unit):
+        """Inclusive suffix scan along sublanes: s_i = ⊕_{k>=i} x_k.
+
+        Two-level mode mirrors the forward kernel's cumprod_sublanes:
+        in-vreg 8-sublane suffix scan (3 steps), then a suffix scan of
+        the per-group totals on a (chunk/8, P) array, broadcast back as
+        exclusive group suffixes — ~13 VPU ops/element vs ~24 flat.
+        """
+        if two_level:
+            G = chunk // 8
+            x3 = x.reshape(G, 8, p)
+            s8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1)
+            for sh in (1, 2, 4):
+                x3 = combine(
+                    x3,
+                    jnp.where(s8 < 8 - sh, pltpu.roll(x3, 8 - sh, 1), unit),
+                )
+            g = x3[:, 0, :]  # (G, P) per-group totals (suffix from row 0)
+            gi = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0)
+            sh = 1
+            while sh < G:
+                g = combine(
+                    g, jnp.where(gi < G - sh, pltpu.roll(g, G - sh, 0), unit)
+                )
+                sh *= 2
+            # exclusive group suffix (groups strictly after gi)
+            ge = jnp.where(gi < G - 1, pltpu.roll(g, G - 1, 0), unit)
+            return combine(x3, ge[:, None, :]).reshape(chunk, p)
         shift = 1
         while shift < chunk:
             rolled = pltpu.roll(x, chunk - shift, 0)
-            x = x * jnp.where(sub < chunk - shift, rolled, 1.0)
+            x = combine(x, jnp.where(sub < chunk - shift, rolled, unit))
             shift *= 2
         return x
+
+    def suffix_prod(x):
+        """Inclusive suffix product along sublanes: sp_i = prod_{k>=i}."""
+        return _suffix_scan(x, jnp.multiply, 1.0)
 
     def suffix_sum_excl(x):
         """Exclusive suffix sum along sublanes: s_i = sum_{k>i}."""
         x = jnp.where(sub < chunk - 1, pltpu.roll(x, chunk - 1, 0), 0.0)
-        shift = 1
-        while shift < chunk:
-            rolled = pltpu.roll(x, chunk - shift, 0)
-            x = x + jnp.where(sub < chunk - shift, rolled, 0.0)
-            shift *= 2
-        return x
+        return _suffix_scan(x, jnp.add, 0.0)
 
     for j in range(tps):
         t = order_ref[i * tps + j]
@@ -312,8 +338,8 @@ def _fwd_impl(num_tiles, grid_x, config, channels, interpret, diff, aux):
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, ch, ncols), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((tps, 2, ch, ncols), jnp.float32),
+            pltpu.SemaphoreType.DMA((tps, 2)),
         ],
     )
     kernel = functools.partial(
