@@ -105,6 +105,23 @@ _EMIT_COMPACT = _os.environ.get("GPCR_EMIT_COMPACT", "auto")
 # the op-count model does not predict Mosaic's lowering here (the
 # reshape/slice relayouts eat the two-level savings); default flat.
 _SCAN_MODE = _os.environ.get("GPCR_SCAN", "flat")
+# early termination of the chunk walk once every pixel crossed: saves
+# dead-chunk compute+DMA on opaque scenes, but the cond's vector reduce
+# feeds a SCALAR branch each chunk (a vector->scalar sync). "0" makes
+# the while_loop condition purely scalar (walk all chunks) to measure
+# that sync cost.
+_EARLY_EXIT = _os.environ.get("GPCR_EARLY_EXIT", "1") == "1"
+# feature-contraction MXU precision: "highest" = 6-pass f32-exact (the
+# parity default; gotcha 2 in PERFORMANCE.md), "high" = 3-pass bf16x3
+# (~f32 accuracy for in-[0,1] colors/weights), "default" = 1-pass bf16
+# (~4e-3 relative — at the 1/255 color-quantization scale). The blend's
+# matmul has M=c_out(<=8) of 128 MXU rows, so pass count is the only
+# throughput lever left there.
+_FEAT_PRECISION = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}[_os.environ.get("GPCR_FEAT_PRECISION", "highest")]
 
 
 def _round_up(x, m):
@@ -647,7 +664,7 @@ def _stream_kernel(
                 acc = acc + T_run * jax.lax.dot_general(
                     feat, w, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=_FEAT_PRECISION,
                 )  # (c_out, P)
                 # crossing detection: cum monotone ⇒ crossed anywhere in
                 # the chunk ⇔ crossed at the LAST row (one (1,P) compare
@@ -691,6 +708,8 @@ def _stream_kernel(
             # AND the remaining chunk DMAs (opaque scenes terminate after
             # a few hundred entries of multi-thousand-entry tiles). The
             # chunks already in flight at exit are torn down below.
+            if not _EARLY_EXIT:
+                return c < nch
             return (c < nch) & (jnp.sum(1.0 - dead) > 0)
 
         T0 = jnp.ones((1, p), jnp.float32)
@@ -699,7 +718,16 @@ def _stream_kernel(
         init = (jnp.int32(0), T0, acc0, dead0)
         if with_contrib:
             init = init + (jnp.zeros((1, p), jnp.float32),)
-        fin = jax.lax.while_loop(cond, body, init)
+        # two-phase walk: the early-exit cond's vector reduce feeds a
+        # SCALAR branch — a vector->scalar sync per chunk that measured
+        # 2.6 ms/frame at the bench shape, paid even by the 1-2-chunk
+        # tiles where the exit can never fire. Phase 1 walks the first
+        # min(nch, 4) chunks under a scalar-only condition (covers
+        # nearly every tile); phase 2 (rare, big tiles) keeps the
+        # termination check that saves multi-thousand-entry tiles.
+        k0 = jnp.minimum(nch, 4)
+        fin = jax.lax.while_loop(lambda st: st[0] < k0, body, init)
+        fin = jax.lax.while_loop(cond, body, fin)
         c_end, T_run, acc = fin[0], fin[1], fin[2]
         if with_contrib:
             cnt_fin = fin[4]
