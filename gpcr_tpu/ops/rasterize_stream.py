@@ -97,6 +97,10 @@ _TILE_CULL = _os.environ.get("GPCR_TILE_CULL", "0") == "1"
 # "1"/"0" force. Bit-exact vs the dense emit whenever total <= kb (same
 # gaussian-major order into the same stable sort); in the overflow regime
 # the dropped entries differ (depth-tail vs tile-tail) — both warned.
+# ROUND-4 A/B: forcing compact at the bench shape (kb=1.8M vs cap*n=3.2M)
+# measured 66.3 vs 47.3 ms/frame — the fill cumsums/scatters cost far
+# more than the 1.8x-smaller sort saves; the kb*2 <= cap*n auto threshold
+# (learned configs: 7.5M vs 25.6M) is the right gate.
 _EMIT_COMPACT = _os.environ.get("GPCR_EMIT_COMPACT", "auto")
 # kernel transmittance scan: "two" = two-level (in-vreg 8-sublane scan
 # + cross-vreg group scan on a chunk/8-row array, ~13 VPU ops/element) vs
@@ -112,16 +116,16 @@ _SCAN_MODE = _os.environ.get("GPCR_SCAN", "flat")
 # that sync cost.
 _EARLY_EXIT = _os.environ.get("GPCR_EARLY_EXIT", "1") == "1"
 # feature-contraction MXU precision: "highest" = 6-pass f32-exact (the
-# parity default; gotcha 2 in PERFORMANCE.md), "high" = 3-pass bf16x3
-# (~f32 accuracy for in-[0,1] colors/weights), "default" = 1-pass bf16
-# (~4e-3 relative — at the 1/255 color-quantization scale). The blend's
-# matmul has M=c_out(<=8) of 128 MXU rows, so pass count is the only
-# throughput lever left there.
-_FEAT_PRECISION = {
-    "highest": jax.lax.Precision.HIGHEST,
-    "high": jax.lax.Precision.HIGH,
-    "default": jax.lax.Precision.DEFAULT,
-}[_os.environ.get("GPCR_FEAT_PRECISION", "highest")]
+# parity default; gotcha 2 in PERFORMANCE.md), "high" = MANUAL 3-pass
+# bf16x3 (hi/lo split + 3 default-precision dots; lax.Precision.HIGH has
+# no Mosaic lowering — it fails to compile inside a Pallas kernel), or
+# "default" = 1-pass bf16 (~4e-3 relative — at the 1/255 color-
+# quantization scale; measured 47.3 -> 44.1 ms/frame, the right trade
+# for uint8 output pipelines). ROUND-4 A/B: "high" measured 48.3 —
+# NO win over "highest" (the 4 split ops + 3 chained dots cost what the
+# 3 saved passes save; max_err 6.6e-6 vs the XLA oracle), so the f32-
+# exact default stands and "default" is the only opt-in that pays.
+_FEAT_PRECISION = _os.environ.get("GPCR_FEAT_PRECISION", "highest")
 
 
 def _round_up(x, m):
@@ -471,11 +475,26 @@ def bin_sorted_stream(
     # with one extra lax.sort (9.0 -> 3.4 ms ISOLATED at 1.8M entries,
     # scripts/ablate_stream.py) but measures ~10 ms/frame SLOWER in the
     # fused frame graph — default 'scan' (the toggle-block comment above
-    # has the full story)
-    starts = jnp.searchsorted(
-        sorted_tile[:kb], jnp.arange(num_tiles + 1, dtype=jnp.int32),
-        side="left", method=_STARTS_METHOD,
-    ).astype(jnp.int32)
+    # has the full story). 'scatter' computes the same table with one
+    # scatter-min of entry positions keyed by tile + a reverse cummin
+    # over the 16K-tile axis (exact: the stream is tile-sorted, so the
+    # min position of tile t IS searchsorted-left, and the reverse
+    # cummin backfills absent tiles with the next present tile's start).
+    # NEGATIVE RESULT (round 4): 'scatter' measures 61.5 vs 47.3
+    # ms/frame — XLA lowers the 1.8M-update scatter-min far below the
+    # sort/searchsorted rates; kept as the A/B record.
+    if _STARTS_METHOD == "scatter":
+        starts = jax.lax.cummin(
+            jnp.full((num_tiles + 1,), kb, jnp.int32)
+            .at[sorted_tile[:kb]]
+            .min(jnp.arange(kb, dtype=jnp.int32), mode="drop"),
+            reverse=True,
+        )
+    else:
+        starts = jnp.searchsorted(
+            sorted_tile[:kb], jnp.arange(num_tiles + 1, dtype=jnp.int32),
+            side="left", method=_STARTS_METHOD,
+        ).astype(jnp.int32)
     if stage == "starts":
         return (sorted_g, jax.lax.optimization_barrier(starts), overflow)
 
@@ -661,11 +680,35 @@ def _stream_kernel(
                 applied = (dead == 0.0) & ~crossed
                 w = a * cum_excl * applied  # (chunk, P)
                 feat = b[:, 8 : 8 + c_out]  # (chunk, c_out); pad cols zero
-                acc = acc + T_run * jax.lax.dot_general(
-                    feat, w, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=_FEAT_PRECISION,
-                )  # (c_out, P)
+
+                def _dot(f, ww, prec):
+                    return jax.lax.dot_general(
+                        f, ww, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=prec,
+                    )  # (c_out, P)
+
+                if _FEAT_PRECISION == "high":
+                    # bf16x3 by hand: hi/lo splits are EXACT bf16 values,
+                    # the dropped f_lo·w_lo term is ~2^-18 relative, so
+                    # the contraction lands ~1e-6 of f32 while running 3
+                    # default-precision MXU passes instead of 6
+                    f_hi = feat.astype(jnp.bfloat16)
+                    f_lo = (feat - f_hi.astype(jnp.float32)).astype(
+                        jnp.bfloat16)
+                    w_hi = w.astype(jnp.bfloat16)
+                    w_lo = (w - w_hi.astype(jnp.float32)).astype(
+                        jnp.bfloat16)
+                    prec = jax.lax.Precision.DEFAULT
+                    contrib = (_dot(f_hi, w_hi, prec)
+                               + (_dot(f_hi, w_lo, prec)
+                                  + _dot(f_lo, w_hi, prec)))
+                else:
+                    prec = (jax.lax.Precision.HIGHEST
+                            if _FEAT_PRECISION == "highest"
+                            else jax.lax.Precision.DEFAULT)
+                    contrib = _dot(feat, w, prec)
+                acc = acc + T_run * contrib
                 # crossing detection: cum monotone ⇒ crossed anywhere in
                 # the chunk ⇔ crossed at the LAST row (one (1,P) compare
                 # instead of a (chunk,P) max-reduce)

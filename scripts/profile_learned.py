@@ -50,6 +50,11 @@ def main():
                          "shell that stresses the engine")
     ap.add_argument("--bricks", action="store_true",
                     help="z-brick conv engine at levels 0-1")
+    ap.add_argument("--dtype", choices=["f32", "bf16"], default="f32",
+                    help="conv compute dtype (gather tables + MXU inputs); "
+                         "bf16 halves table bytes, crossing the L0/L1 "
+                         "feature tables under the ~64 MB gather-rate "
+                         "cliff")
     args = ap.parse_args()
 
     rng = np.random.RandomState(0)
@@ -67,7 +72,9 @@ def main():
         clr_encoder_channels="9 32 64 128 256 128", scale_factor=sf,
         sh_deg=1, sh_feat_deg=0,
     )
-    model = PCEncoder(info, brick_levels=(0, 1) if args.bricks else ())
+    cdt = jnp.bfloat16 if args.dtype == "bf16" else None
+    model = PCEncoder(info, compute_dtype=cdt,
+                      brick_levels=(0, 1) if args.bricks else ())
     params = model.init(jax.random.PRNGKey(0))
 
     t0 = time.perf_counter()
@@ -136,7 +143,8 @@ def main():
             return
 
         def fn(f, w):
-            return sparse.conv(g.replace(feats=f), kmaps[lvl], w, None)
+            return sparse.conv(g.replace(feats=f), kmaps[lvl], w, None,
+                               compute_dtype=cdt)
 
         f = jnp.asarray(rng.rand(g.capacity, cin), jnp.float32)
         ms, _ = timeit(jax.jit(fn), f, w)
