@@ -126,10 +126,56 @@ _EARLY_EXIT = _os.environ.get("GPCR_EARLY_EXIT", "1") == "1"
 # 3 saved passes save; max_err 6.6e-6 vs the XLA oracle), so the f32-
 # exact default stands and "default" is the only opt-in that pays.
 _FEAT_PRECISION = _os.environ.get("GPCR_FEAT_PRECISION", "highest")
+# stream-gather mode: "global" = one 1.8M-row gather from the rank-ordered
+# packed table (above the ~64 MB table-size cliff: ~130-250 M rows/s and
+# BIMODAL across processes, 7-17 ms at the bench shape); "blocked" =
+# spatially re-sorted table + blocked-window gather (each block of sorted
+# entries gathers from a dynamic-slice window around its own tiles'
+# gaussians — windows sit below the byte cliff, where gathers measure
+# ~455 M rows/s). Costs two extra 800K sorts + one narrow index map;
+# exact up to a window-overflow guard counted into `overflow`.
+_STREAM_GATHER = _os.environ.get("GPCR_STREAM_GATHER", "global")
+_STREAM_WINDOW = int(_os.environ.get("GPCR_STREAM_WINDOW", "98304"))
+_STREAM_BLOCK = int(_os.environ.get("GPCR_STREAM_BLOCK", "131072"))
 
 
 def _round_up(x, m):
     return -(-x // m) * m
+
+
+def _blocked_row_gather(table, idx, n, window, block):
+    """Gather ``table[idx]`` (rows) in blocks, each from a dynamic-slice
+    window of the table — the below-cliff gather path (PERFORMANCE.md:
+    tables under ~64 MB gather ~4.5x faster than big ones, byte-driven).
+
+    ``table`` is (n + 1, C) with an inert zero row at ``n``; ``idx`` values
+    must be window-local per block (callers sort the table spatially so a
+    block of tile-sorted entries only references nearby gaussians).
+    Rows whose index falls outside the block's window — or the ``n``
+    sentinel — come back ZERO (inert for the blend); the count of REAL
+    rows dropped this way is returned for overflow accounting.
+    """
+    kbp = idx.shape[0]
+    c = table.shape[1]
+    nb = -(-kbp // block)
+    idxp = jnp.pad(idx, (0, nb * block - kbp), constant_values=n)
+    blocks = idxp.reshape(nb, block)
+    real = blocks < n
+    lo = jnp.min(jnp.where(real, blocks, n), axis=1)
+    lo = jnp.clip(lo, 0, max(n + 1 - window, 0))
+
+    def step(_, xs):
+        bidx, lo_b = xs
+        win = jax.lax.dynamic_slice(table, (lo_b, 0), (window, c))
+        loc = bidx - lo_b
+        ok = (loc >= 0) & (loc < window) & (bidx < n)
+        rows = win[jnp.clip(loc, 0, window - 1)]
+        rows = jnp.where(ok[:, None], rows, 0.0)
+        drop = jnp.sum(((bidx < n) & ~ok).astype(jnp.int32))
+        return None, (rows, drop)
+
+    _, (out, drops) = jax.lax.scan(step, None, (blocks, lo))
+    return out.reshape(nb * block, c)[:kbp], jnp.sum(drops)
 
 
 # --------------------------------------------------------------------------
@@ -272,7 +318,35 @@ def bin_sorted_stream(
         return (jax.lax.optimization_barrier(packed),
                 jnp.zeros((1,), jnp.int32), jnp.int32(0))
 
+    # 8-bit field guards for the packed-rect fill: tile grids above
+    # 255x255 (> ~4080 px internal) or caps above 255 fall back to the
+    # dense emit. rw packs as min(rw, cap): k < cap, so any clamped
+    # value >= cap yields the same kdiv = 0 / kmod = k.
+    grid_y = num_tiles // grid_x
+    compact = (not cull and _EMIT_COMPACT != "0"
+               and grid_x <= 255 and grid_y <= 255 and cap <= 255
+               and (_EMIT_COMPACT == "1" or kb * 2 <= k_full))
     rank_mode = _EMIT_LAYOUT == "rank" and not cull
+    # blocked stream gather: needs the rank emit (unique (tile, rank)
+    # 2-keys), the packed-rect presort payload, and a table taller than
+    # the window (otherwise the global gather is already below the cliff)
+    blocked = (_STREAM_GATHER == "blocked" and rank_mode and not compact
+               and pack_ok and n + 1 > _STREAM_WINDOW)
+    if blocked:
+        # spatial orders: spos = position in (primary-tile, rank) order.
+        # Entries of one tile reference only gaussians whose primary tile
+        # sits within one tile-row span of it (rect extent <= the dup
+        # cap's 2x2), so tile-sorted entry blocks index a contiguous
+        # window of the spatially-sorted table — the below-cliff gather.
+        ptile_s = jnp.where(
+            valid_si == 1, rminy_s * grid_x + rminx_s, num_tiles
+        ).astype(jnp.int32)
+        rank_iota = jnp.arange(n, dtype=jnp.int32)
+        _, rank_sp, orig_sp = jax.lax.sort(
+            (ptile_s, rank_iota, gidx_s), num_keys=2
+        )
+        # rank -> spos: inverse of the (unique-key) spos -> rank map
+        _, spos_of_rank = jax.lax.sort((rank_sp, rank_iota), num_keys=1)
     if rank_mode:
         # depth-rank-ordered copy of the table: entries then carry RANK
         # (their gaussian's presort position) instead of the original
@@ -281,12 +355,15 @@ def bin_sorted_stream(
         # requirement — so the emit can flatten slot-major for free.
         # A permutation gather of (n+1, 128) measures ~0.3 ms (~20x
         # cheaper than a random gather of the same shape).
+        perm = orig_sp if blocked else gidx_s
         packed_rank = packed[jnp.concatenate(
-            [gidx_s, jnp.full((1,), n, jnp.int32)])]
-        if _STREAM_BARRIER:
+            [perm, jnp.full((1,), n, jnp.int32)])]
+        if _STREAM_BARRIER or blocked:
             # pitfall 7: packed_rank is itself a gather — without a
             # barrier XLA may fuse it as a producer into the big stream
-            # gather and re-evaluate the permutation per stream row
+            # gather and re-evaluate the permutation per stream row.
+            # MANDATORY in blocked mode: the per-window dynamic slices
+            # would each re-run the permutation over their whole window.
             packed_rank = jax.lax.optimization_barrier(packed_rank)
 
     # 3. emit entries, (cap, n) orientation: the lane axis carries the
@@ -300,14 +377,6 @@ def bin_sorted_stream(
         jnp.where(valid_s, jnp.maximum(area_raw - cap, 0), 0)
     )
 
-    # 8-bit field guards for the packed-rect fill: tile grids above
-    # 255x255 (> ~4080 px internal) or caps above 255 fall back to the
-    # dense emit. rw packs as min(rw, cap): k < cap, so any clamped
-    # value >= cap yields the same kdiv = 0 / kmod = k.
-    grid_y = num_tiles // grid_x
-    compact = (not cull and _EMIT_COMPACT != "0"
-               and grid_x <= 255 and grid_y <= 255 and cap <= 255
-               and (_EMIT_COMPACT == "1" or kb * 2 <= k_full))
     if compact:
         # ---- compacted emit: kb slots, gaussian-major prefix order ----
         # Per-slot per-gaussian values are piecewise constant over the
@@ -505,11 +574,24 @@ def bin_sorted_stream(
     sorted_g = jnp.concatenate(
         [sorted_g, jnp.full((ch,), n, jnp.int32)], axis=0
     )[: kb + ch]
-    stream = (packed_rank if rank_mode else packed)[sorted_g]
+    if blocked:
+        # map sorted depth-ranks to spatial positions (one narrow gather
+        # from a 4 MB table — far below the byte cliff), then gather the
+        # stream rows from window slices of the spatial table
+        sorted_g = jnp.concatenate(
+            [spos_of_rank, jnp.full((1,), n, jnp.int32)]
+        )[sorted_g]
+        stream, win_drop = _blocked_row_gather(
+            packed_rank, sorted_g, n, _STREAM_WINDOW, _STREAM_BLOCK
+        )
+        overflow = overflow + win_drop
+    else:
+        stream = (packed_rank if rank_mode else packed)[sorted_g]
     if return_entries:
-        # (entry indices, index->original-gaussian map or None)
+        # (entry indices, index->original-gaussian map or None); in
+        # blocked mode rows live in SPATIAL order and the map is orig_sp
         return (stream, starts, overflow, sorted_g,
-                gidx_s if rank_mode else None)
+                (orig_sp if blocked else gidx_s) if rank_mode else None)
     return stream, starts, overflow
 
 

@@ -208,3 +208,84 @@ def test_rank_emit_matches_legacy_layouts(monkeypatch):
         outs[layout] = np.asarray(out)
     np.testing.assert_array_equal(outs["rank"], outs["cn"])
     np.testing.assert_array_equal(outs["rank"], outs["nc"])
+
+
+def test_blocked_row_gather_matches_direct():
+    """_blocked_row_gather == table[idx] when indices are window-local;
+    out-of-window REAL indices are zeroed and counted."""
+    import gpcr_tpu.ops.rasterize_stream as RS
+
+    rng = np.random.RandomState(5)
+    n = 300
+    table = jnp.asarray(rng.randn(n + 1, 8), jnp.float32)
+    table = table.at[n].set(0.0)
+    # indices local to their block: block b draws from [b*40, b*40 + 60)
+    idx = np.minimum(
+        (np.repeat(np.arange(5), 64) * 40
+         + rng.randint(0, 60, size=320)), n - 1)
+    idx[::17] = n  # sprinkle sentinels
+    idx = jnp.asarray(idx, jnp.int32)
+    out, drop = RS._blocked_row_gather(table, idx, n, window=128, block=64)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(table[idx]))
+    assert int(drop) == 0
+
+    # a far-away index inside a late block drags the window start down,
+    # pushing that block's OTHER rows out of the window: they must come
+    # back zeroed and counted, never as garbage
+    idx_bad = idx.at[300].set(0)
+    out2, drop2 = RS._blocked_row_gather(
+        table, idx_bad, n, window=64, block=64)
+    assert int(drop2) >= 1
+    np.testing.assert_array_equal(np.asarray(out2[301]), 0.0)
+    np.testing.assert_array_equal(
+        np.asarray(out2[300]), np.asarray(table[0]))
+
+
+def test_blocked_stream_gather_matches_global(monkeypatch):
+    """The blocked-window spatial stream gather (GPCR_STREAM_GATHER=
+    blocked) must reproduce the global-gather binning bit-exactly —
+    same sorted entry order (the (tile, rank) sort is untouched), same
+    packed rows via the spatially-permuted table."""
+    import gpcr_tpu.ops.rasterize_stream as RS
+
+    means, scales, rots, op, feats, valid, settings = scene(seed=17)
+    config = R.RasterizeConfig(
+        max_dup_per_gaussian=16, chunk_size=32, k_budget=8192,
+    )
+    prep = R.preprocess(
+        means, op, settings, config,
+        scales=scales, rotations=rots, colors_precomp=feats,
+        valid_mask=valid,
+    )
+    grid_x = -(-settings.image_width // config.tile_x)
+    grid_y = -(-settings.image_height // config.tile_y)
+    num_tiles = grid_x * grid_y
+
+    s_ref, starts_ref, ovf_ref = RS.bin_sorted_stream(
+        prep, num_tiles, grid_x, config)
+
+    monkeypatch.setattr(RS, "_STREAM_GATHER", "blocked")
+    monkeypatch.setattr(RS, "_STREAM_WINDOW", 384)
+    monkeypatch.setattr(RS, "_STREAM_BLOCK", 64)
+    s_blk, starts_blk, ovf_blk = RS.bin_sorted_stream(
+        prep, num_tiles, grid_x, config)
+
+    assert int(ovf_ref) == 0 and int(ovf_blk) == 0
+    np.testing.assert_array_equal(
+        np.asarray(starts_blk), np.asarray(starts_ref))
+    np.testing.assert_array_equal(np.asarray(s_blk), np.asarray(s_ref))
+
+    # end-to-end through the (interpret-mode) kernel too — distinct
+    # chunk_size keeps this trace out of other tests' jit caches
+    ref, _ = R.rasterize_gaussians(
+        means, op, settings, scales=scales, rotations=rots,
+        colors_precomp=feats, valid_mask=valid,
+        config=config._replace(k_budget=None),
+    )
+    out, _, extra = rasterize_gaussians_stream(
+        means, op, settings, scales=scales, rotations=rots,
+        colors_precomp=feats, valid_mask=valid, config=config,
+        interpret=True, return_extra=True,
+    )
+    assert int(extra["dup_overflow"]) == 0
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
