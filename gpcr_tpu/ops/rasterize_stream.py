@@ -157,6 +157,10 @@ def _blocked_row_gather(table, idx, n, window, block):
     """
     kbp = idx.shape[0]
     c = table.shape[1]
+    # dynamic_slice sizes may not exceed the sliced dim: a window taller
+    # than the (n + 1)-row table would fail at trace time (the lo clamp
+    # below only guards the slice START)
+    window = min(window, table.shape[0])
     nb = -(-kbp // block)
     idxp = jnp.pad(idx, (0, nb * block - kbp), constant_values=n)
     blocks = idxp.reshape(nb, block)
@@ -203,8 +207,12 @@ def bin_sorted_stream(
     800K presort + row permute are ~4 ms combined.
 
     Returns (stream (kb + chunk, ncols) f32, starts (num_tiles+1,) i32,
-    overflow scalar i32). ``ncols`` = 8 scalar slots + channels padded to 8.
-    Entry rows: [x, y, conic_x, conic_y, conic_z, opacity, depth, 0, feat...].
+    overflow scalar i32, win_drop scalar i32). ``ncols`` = 8 scalar slots +
+    channels padded to 8. Entry rows: [x, y, conic_x, conic_y, conic_z,
+    opacity, depth, 0, feat...]. ``overflow`` counts entries never emitted
+    (dup-cap / k_budget); ``win_drop`` counts entries EMITTED but zeroed by
+    the blocked-mode gather window (always 0 in global mode) — kept apart
+    so GPCR_STREAM_WINDOW can be tuned against its own counter.
 
     ``stage`` is a PROFILING-ONLY prefix cut ("presort" | "packed" |
     "emit" | "sort" | "starts" | "full"): the in-graph cost of stage k is
@@ -286,7 +294,7 @@ def bin_sorted_stream(
             sorted_ops[:7])
     if stage == "presort":
         return (gidx_s + rminx_s + rmaxy_s + valid_si,
-                rminy_s, jnp.int32(0))
+                rminy_s, jnp.int32(0), jnp.int32(0))
 
     # 2. packed per-gaussian rows (original order, one narrow concat + one
     # pad to 128 lanes — Mosaic DMA slices the lane dim at 128 granularity,
@@ -316,7 +324,7 @@ def bin_sorted_stream(
         # barrier: the table build is elementwise — without it, a probe
         # reading one element would let DCE shrink the whole stage
         return (jax.lax.optimization_barrier(packed),
-                jnp.zeros((1,), jnp.int32), jnp.int32(0))
+                jnp.zeros((1,), jnp.int32), jnp.int32(0), jnp.int32(0))
 
     # 8-bit field guards for the packed-rect fill: tile grids above
     # 255x255 (> ~4080 px internal) or caps above 255 fall back to the
@@ -335,9 +343,13 @@ def bin_sorted_stream(
     if blocked:
         # spatial orders: spos = position in (primary-tile, rank) order.
         # Entries of one tile reference only gaussians whose primary tile
-        # sits within one tile-row span of it (rect extent <= the dup
-        # cap's 2x2), so tile-sorted entry blocks index a contiguous
-        # window of the spatially-sorted table — the below-cliff gather.
+        # sits within a rect-extent span of it, so tile-sorted entry
+        # blocks index a near-contiguous window of the spatially-sorted
+        # table — the below-cliff gather. Locality SCALES WITH
+        # max_dup_per_gaussian (cap 4 = 2x2 rects = one tile-row span;
+        # larger caps reference gaussians up to cap-1 tile rows away,
+        # so GPCR_STREAM_WINDOW must grow with cap or real rows get
+        # zero-dropped — counted separately in win_drop).
         ptile_s = jnp.where(
             valid_si == 1, rminy_s * grid_x + rminx_s, num_tiles
         ).astype(jnp.int32)
@@ -514,7 +526,7 @@ def bin_sorted_stream(
     if stage == "emit":
         # barrier: the emit is elementwise — see the "packed" cut
         tf, gf = jax.lax.optimization_barrier((tile_flat, g_flat))
-        return (tf, gf, jnp.int32(0))
+        return (tf, gf, jnp.int32(0), jnp.int32(0))
 
     # 4. THE sort. rank mode: (tile, rank) pairs are UNIQUE (a gaussian
     # never emits one tile twice), so an unstable 2-key sort is
@@ -532,7 +544,7 @@ def bin_sorted_stream(
             (tile_flat, g_flat), num_keys=1, is_stable=True
         )
     if stage == "sort":
-        return (sorted_tile, sorted_g, jnp.int32(0))
+        return (sorted_tile, sorted_g, jnp.int32(0), jnp.int32(0))
     # count SURVIVING entries (post-cull) against the budget; the
     # compact branch computed its `total` already
     if not compact:
@@ -565,7 +577,8 @@ def bin_sorted_stream(
             side="left", method=_STARTS_METHOD,
         ).astype(jnp.int32)
     if stage == "starts":
-        return (sorted_g, jax.lax.optimization_barrier(starts), overflow)
+        return (sorted_g, jax.lax.optimization_barrier(starts), overflow,
+                jnp.int32(0))
 
     # 5. stream gather in sorted-entry order (sentinel payloads produce
     # inert zero rows, so the kernel's chunk slack comes from gathering
@@ -574,6 +587,7 @@ def bin_sorted_stream(
     sorted_g = jnp.concatenate(
         [sorted_g, jnp.full((ch,), n, jnp.int32)], axis=0
     )[: kb + ch]
+    win_drop = jnp.int32(0)
     if blocked:
         # map sorted depth-ranks to spatial positions (one narrow gather
         # from a 4 MB table — far below the byte cliff), then gather the
@@ -584,15 +598,16 @@ def bin_sorted_stream(
         stream, win_drop = _blocked_row_gather(
             packed_rank, sorted_g, n, _STREAM_WINDOW, _STREAM_BLOCK
         )
-        overflow = overflow + win_drop
     else:
         stream = (packed_rank if rank_mode else packed)[sorted_g]
     if return_entries:
-        # (entry indices, index->original-gaussian map or None); in
-        # blocked mode rows live in SPATIAL order and the map is orig_sp
-        return (stream, starts, overflow, sorted_g,
+        # (entry indices, index->original-gaussian map or None). The
+        # stream rows stay in SORTED-ENTRY order in every mode; in
+        # blocked mode the sorted_g VALUES are spatial positions into
+        # packed_rank — compose with orig_sp for original gaussian ids
+        return (stream, starts, overflow, win_drop, sorted_g,
                 (orig_sp if blocked else gidx_s) if rank_mode else None)
-    return stream, starts, overflow
+    return stream, starts, overflow, win_drop
 
 
 # --------------------------------------------------------------------------
@@ -919,7 +934,9 @@ def blend_stream(
 ):
     """Bin + blend with the streaming kernel.
 
-    Returns (out (num_tiles, P, C), final_T (num_tiles, P), overflow).
+    Returns (out (num_tiles, P, C), final_T (num_tiles, P), overflow,
+    win_drop) — overflow = entries never emitted, win_drop = entries
+    zeroed by the blocked gather window (0 in the default global mode).
     ``stage``: profiling-only prefix cut (see bin_sorted_stream; extra
     values here: "bin" = binning complete, "kernel" = skip the
     order->tile unpermute/composite epilogue).
@@ -931,13 +948,13 @@ def blend_stream(
     c_out = _round_up(channels + 1, 8)  # acc channels + final-T row
 
     if stage not in ("full", "bin", "kernel"):
-        a, b, c = bin_sorted_stream(
+        a, b, c, _ = bin_sorted_stream(
             prep, num_tiles, grid_x, config, stage=stage)
         z = jnp.zeros((num_tiles, p_out, channels), jnp.float32)
         probe = (a.reshape(-1)[0].astype(jnp.float32)
                  + b.reshape(-1)[0].astype(jnp.float32))
-        return z.at[0, 0, 0].add(probe), z[:, :, 0], c
-    stream, starts, overflow = bin_sorted_stream(
+        return z.at[0, 0, 0].add(probe), z[:, :, 0], c, jnp.int32(0)
+    stream, starts, overflow, win_drop = bin_sorted_stream(
         prep, num_tiles, grid_x, config
     )
     if stage == "bin":
@@ -946,7 +963,7 @@ def blend_stream(
         # probe would shrink the gather itself under DCE)
         sb, stb = jax.lax.optimization_barrier((stream, starts))
         probe = sb.reshape(-1)[0] + stb[0].astype(jnp.float32)
-        return z.at[0, 0, 0].add(probe), z[:, :, 0], overflow
+        return z.at[0, 0, 0].add(probe), z[:, :, 0], overflow, win_drop
     ncols = stream.shape[1]
 
     counts = starts[1:] - starts[:-1]
@@ -999,7 +1016,7 @@ def blend_stream(
     out_o = out_o[:n_grid]
     if stage == "kernel":
         return (out_o[:, :channels, :].transpose(0, 2, 1),
-                out_o[:, c_out - 1, :], overflow)
+                out_o[:, c_out - 1, :], overflow, win_drop)
 
     # order space -> tile space via the INVERSE permutation: a gather of
     # num_tiles blocks instead of a scatter (XLA scatters at this size
@@ -1023,7 +1040,7 @@ def blend_stream(
     t_run = out_t[:, c_out - 1, :]  # (num_tiles, P)
     acc = out_t[:, :channels, :].transpose(0, 2, 1)  # (num_tiles, P, C)
     out = acc + t_run[..., None] * bg[None, None, :]
-    return out, t_run, overflow
+    return out, t_run, overflow, win_drop
 
 
 def rasterize_gaussians_stream(
@@ -1053,7 +1070,7 @@ def rasterize_gaussians_stream(
         shs=shs, colors_precomp=colors_precomp, valid_mask=valid_mask,
     )
     channels = prep.features.shape[-1]
-    out, t_run, overflow = blend_stream(
+    out, t_run, overflow, win_drop = blend_stream(
         prep, settings.bg, num_tiles, grid_x, config, channels,
         interpret=interpret,
     )
@@ -1072,5 +1089,6 @@ def rasterize_gaussians_stream(
         color, t_img = assemble_tiles(out, t_run, H, W, config)
     radii = prep.radius.astype(jnp.int32)
     if return_extra:
-        return color, radii, {"final_T": t_img, "dup_overflow": overflow}
+        return color, radii, {"final_T": t_img, "dup_overflow": overflow,
+                              "win_drop": win_drop}
     return color, radii

@@ -313,8 +313,9 @@ def _fwd_impl(num_tiles, grid_x, config, channels, interpret, diff, aux):
     c_out = _round_up(channels + 2, 8)  # acc + n_contrib + final-T rows
 
     prep = _make_prep(diff, aux)
-    stream, starts, overflow, sorted_g, g_map = S.bin_sorted_stream(
+    stream, starts, overflow, win_drop, sorted_g, g_map = S.bin_sorted_stream(
         prep, num_tiles, grid_x, config, return_entries=True)
+    overflow = overflow + win_drop  # training path: conservative combined count
     ncols = stream.shape[1]
 
     counts = starts[1:] - starts[:-1]

@@ -234,7 +234,7 @@ def main():
 
     def bin_of(s, pr):
         p2 = pr._replace(depth=pr.depth + s * 1e-20)
-        stream, starts, ovf = S.bin_sorted_stream(
+        stream, starts, ovf, _wd = S.bin_sorted_stream(
             p2, num_tiles, grid_x, config)
         return stream[0, 0] * 0 + starts[0].astype(jnp.float32) * 0 + s + 1
 
@@ -243,7 +243,7 @@ def main():
 
     def full_of(s, pr):
         p2 = pr._replace(depth=pr.depth + s * 1e-20)
-        out, t_run, ovf = S.blend_stream(
+        out, t_run, ovf, _wd = S.blend_stream(
             p2, jnp.ones(12), num_tiles, grid_x, config, 12)
         return out[0, 0, 0] * 0 + s + 1
 

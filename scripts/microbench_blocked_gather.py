@@ -65,7 +65,7 @@ def main():
         prep = R.preprocess(
             xyz, op, settings, config, scales=scales, rotations=rots,
             colors_precomp=feats)
-        s, st, ovf = RS.bin_sorted_stream(prep, num_tiles, grid_x, config)
+        s, st, ovf, _wd = RS.bin_sorted_stream(prep, num_tiles, grid_x, config)
         return s.sum(), st[-1], ovf
 
     mode = os.environ.get("GPCR_STREAM_GATHER", "global")

@@ -105,7 +105,7 @@ def main():
     binf = jax.jit(functools.partial(
         S.bin_sorted_stream, num_tiles=num_tiles, grid_x=grid_x,
         config=config))
-    ms, (stream, starts, ovf) = timeit(binf, prep)
+    ms, (stream, starts, ovf, _wd) = timeit(binf, prep)
     print(f"bin (sort+gather):        {ms:8.1f} ms  "
           f"overflow={int(ovf)}")
 

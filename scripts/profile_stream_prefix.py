@@ -98,7 +98,7 @@ def main():
     for st in stages:
         def step(s, pr, st=st):
             p2 = pr._replace(depth=pr.depth + s * 1e-20)
-            out, t_run, ovf = S.blend_stream(
+            out, t_run, ovf, _wd = S.blend_stream(
                 p2, jnp.ones(12), num_tiles, grid_x, config, 12, stage=st)
             return (out.reshape(-1)[0] * 0 + t_run.reshape(-1)[0] * 0
                     + s + 1)

@@ -140,7 +140,7 @@ def test_tile_cull_is_exact_and_nonvacuous(monkeypatch):
         )
         grid_x = -(-settings.image_width // config.tile_x)
         grid_y = -(-settings.image_height // config.tile_y)
-        _, starts, _ = RS.bin_sorted_stream(
+        _, starts, _, _ = RS.bin_sorted_stream(
             prep, grid_x * grid_y, grid_x, config
         )
         counts[flag] = int(starts[-1])
@@ -261,16 +261,17 @@ def test_blocked_stream_gather_matches_global(monkeypatch):
     grid_y = -(-settings.image_height // config.tile_y)
     num_tiles = grid_x * grid_y
 
-    s_ref, starts_ref, ovf_ref = RS.bin_sorted_stream(
+    s_ref, starts_ref, ovf_ref, wd_ref = RS.bin_sorted_stream(
         prep, num_tiles, grid_x, config)
 
     monkeypatch.setattr(RS, "_STREAM_GATHER", "blocked")
     monkeypatch.setattr(RS, "_STREAM_WINDOW", 384)
     monkeypatch.setattr(RS, "_STREAM_BLOCK", 64)
-    s_blk, starts_blk, ovf_blk = RS.bin_sorted_stream(
+    s_blk, starts_blk, ovf_blk, wd_blk = RS.bin_sorted_stream(
         prep, num_tiles, grid_x, config)
 
     assert int(ovf_ref) == 0 and int(ovf_blk) == 0
+    assert int(wd_ref) == 0 and int(wd_blk) == 0
     np.testing.assert_array_equal(
         np.asarray(starts_blk), np.asarray(starts_ref))
     np.testing.assert_array_equal(np.asarray(s_blk), np.asarray(s_ref))
