@@ -119,6 +119,11 @@ def _raster_config(args):
         chunk_size=256,
         max_active_tiles=args.max_active_tiles or None,
         k_budget=args.k_budget or None,
+        # opacity-aware tile rects: bit-exact contributor sets (see
+        # RasterizeConfig.opacity_radius) — a pure entry-count cut for
+        # the learned path's mostly-low opacities; a no-op for the
+        # analytic simple path (opacity 1)
+        opacity_radius=not getattr(args, "no_opacity_radius", False),
     )
 
 

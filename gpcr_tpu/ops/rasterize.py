@@ -69,6 +69,28 @@ class RasterizeConfig(T.NamedTuple):
     # grouping 4 tiles per step cuts that overhead 4x on the ~6K-step
     # deployed grids; the tiles still run sequentially inside the step.
     tiles_per_step: int = 4
+    # stream-kernel feature-contraction precision: "env" defers to
+    # GPCR_FEAT_PRECISION (default "highest" = f32-exact 6-pass MXU).
+    # "default" = 1-pass bf16: ~4e-3 relative error on the composited
+    # features — BELOW one uint8 step (1/255 = 3.9e-3), so for uint8
+    # output pipelines (the CLI's save_pic protocol and the reference's
+    # own PNG scoring, pic_psnr.py:44) it is quantization-invisible
+    # almost everywhere; measured 47.3 -> 44.1 ms/frame (round 4).
+    # Golden SHA/50 dB oracle parity requires "highest".
+    feat_precision: str = "env"
+    # stream-kernel transmittance scan: "env" defers to GPCR_SCAN
+    # (default "flat"). See rasterize_stream.py for the measured
+    # flat/two/mxu record.
+    scan: str = "env"
+    # opacity-aware tile rects: bin each splat with the TIGHT radius
+    # r = ceil(sqrt(min(9, 2*ln(255*op)) * lambda_max)) instead of the
+    # blanket 3-sigma (forward.cu:232-235). BIT-EXACT images — every
+    # dropped (splat, tile) pair fails the blend's own alpha >= 1/255
+    # skip (forward.cu:318-320) at all its pixels — while shrinking the
+    # entry stream for low-opacity (learned) splats and culling
+    # op <= 1/255 splats outright. The returned radii keep the
+    # reference's 3-sigma values for API parity.
+    opacity_radius: bool = False
 
 
 class GaussianRasterizationSettings(T.NamedTuple):
@@ -134,18 +156,37 @@ def preprocess(
         means3d, focal_x, focal_y, settings.tanfovx, settings.tanfovy,
         cov3d, settings.viewmatrix,
     )
-    conic, radius, det_ok = splat.conic_and_radius(cov2d)
+    if config.opacity_radius:
+        conic, radius, det_ok, r_bin = splat.conic_and_radius(
+            cov2d, opacity=opacities.reshape(-1))
+    else:
+        conic, radius, det_ok = splat.conic_and_radius(cov2d)
+        r_bin = radius
     mean2d = jnp.stack(
         [splat.ndc2pix(p_proj[..., 0], W), splat.ndc2pix(p_proj[..., 1], H)], axis=-1
     )
     rmin_x, rmin_y, rmax_x, rmax_y = splat.get_rect(
-        mean2d, radius, grid_x, grid_y, config.tile_x, config.tile_y
+        mean2d, r_bin, grid_x, grid_y, config.tile_x, config.tile_y
     )
     tiles_touched = (rmax_x - rmin_x) * (rmax_y - rmin_y)
 
     valid = vis & det_ok & (tiles_touched > 0)
     if valid_mask is not None:
         valid = valid & valid_mask.astype(bool)
+    valid_report = valid  # reference-semantics validity for radii output
+    if config.opacity_radius:
+        # r_bin == 0 <=> op <= 1/255: no pixel can clear the blend's
+        # alpha skip — cull from BINNING only. The radii output keeps
+        # reference semantics: reference-rect tiles_touched (a tight
+        # rect can clip to empty at the screen edge where the
+        # reference's does not).
+        valid = valid & (r_bin > 0)
+        rx0, ry0, rx1, ry1 = splat.get_rect(
+            mean2d, radius, grid_x, grid_y, config.tile_x, config.tile_y
+        )
+        valid_report = vis & det_ok & ((rx1 - rx0) * (ry1 - ry0) > 0)
+        if valid_mask is not None:
+            valid_report = valid_report & valid_mask.astype(bool)
 
     if colors_precomp is None:
         features = sh_utils.eval_sh_color(
@@ -159,7 +200,7 @@ def preprocess(
         depth=p_view[..., 2],
         mean2d=mean2d,
         conic=conic,
-        radius=jnp.where(valid, radius, 0.0),
+        radius=jnp.where(valid_report, radius, 0.0),
         rect=jnp.stack([rmin_x, rmin_y, rmax_x, rmax_y], axis=-1),
         features=features,
         opacity=opacities.reshape(-1),

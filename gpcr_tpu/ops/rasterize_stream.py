@@ -108,6 +108,14 @@ _EMIT_COMPACT = _os.environ.get("GPCR_EMIT_COMPACT", "auto")
 # MEASURED round 4 at the bench shape: flat 49.2 vs two 50.8 ms/frame —
 # the op-count model does not predict Mosaic's lowering here (the
 # reshape/slice relayouts eat the two-level savings); default flat.
+# "mxu" (round 5) = log-space cumsum on the MXU: the inclusive product
+# becomes one (chunk, chunk) 0/1 lower-triangular matmul over
+# l = log2(1-a), run as 3 bf16 passes on an exact hi/mid/lo split of l
+# (the 0/1 matrix is exact in bf16, so the 3-pass sum reconstructs the
+# f32 cumsum to ~1 ulp). Replaces the ~24-op/element shift scan with
+# ~5 VPU ops + ~50M MACs/chunk of otherwise-idle MXU; the crossing
+# test, thr, and T_run updates move to the log2 domain. Output differs
+# from the scan path only by log2/exp2 round-trip ulps (~1e-6 rel).
 _SCAN_MODE = _os.environ.get("GPCR_SCAN", "flat")
 # early termination of the chunk walk once every pixel crossed: saves
 # dead-chunk compute+DMA on opaque scenes, but the cond's vector reduce
@@ -571,6 +579,25 @@ def bin_sorted_stream(
             .min(jnp.arange(kb, dtype=jnp.int32), mode="drop"),
             reverse=True,
         )
+    elif _STARTS_METHOD == "hier" and kb % 128 == 0:
+        # 2-level exact searchsorted over the sorted entry tiles.
+        # start(t) = #entries < t. Reshape the kb-entry key list to
+        # (kb/128, 128) rows; rows wholly below t are counted by one
+        # SMALL searchsorted over the 14K row-last keys, and the
+        # boundary row's contribution by one 16K-row gather (below the
+        # byte cliff) + a compare-sum. Replaces the 21-step binary
+        # search over the full 1.8M-key array (the 'scan' method),
+        # whose every step is a separate 16K-element random gather.
+        nrows = kb // 128
+        st2 = sorted_tile[:kb].reshape(nrows, 128)
+        rowlast = st2[:, 127]
+        q = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+        rstar = jnp.searchsorted(rowlast, q, side="left").astype(jnp.int32)
+        rows_b = st2[jnp.minimum(rstar, nrows - 1)]
+        within = jnp.sum((rows_b < q[:, None]).astype(jnp.int32), axis=1)
+        starts = jnp.where(
+            rstar >= nrows, kb, rstar * 128 + within
+        ).astype(jnp.int32)
     else:
         starts = jnp.searchsorted(
             sorted_tile[:kb], jnp.arange(num_tiles + 1, dtype=jnp.int32),
@@ -633,13 +660,26 @@ def _stream_kernel(
     downscale: int = 1,
     tps: int = 1,
     with_contrib: bool = False,
+    scan_mode: str = None,
+    feat_precision: str = None,
 ):
+    # config-resolved toggles (fall back to the env-var module defaults
+    # so existing callers and the vjp wrapper keep their behavior)
+    scan_mode = _SCAN_MODE if scan_mode is None else scan_mode
+    feat_precision = _FEAT_PRECISION if feat_precision is None else feat_precision
     i = pl.program_id(0)
     p = tile_x * tile_y
 
     row = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
     sub = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
     colp = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
+    if scan_mode == "mxu":
+        # inclusive lower-triangular 0/1 matrix (exact in bf16); built
+        # once per grid step, shared by all tps tiles and their chunks
+        tri = (
+            jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+            >= jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+        ).astype(jnp.bfloat16)
 
     def cumprod_sublanes(x):
         """Inclusive cumulative product along the sublane axis — the same
@@ -652,7 +692,7 @@ def _stream_kernel(
         ops/element vs ~24 for the flat log2(chunk)-step scan whose
         every roll crosses vreg boundaries.
         """
-        if _SCAN_MODE == "two" and chunk % 8 == 0 and chunk >= 16:
+        if scan_mode == "two" and chunk % 8 == 0 and chunk >= 16:
             G = chunk // 8
             x3 = x.reshape(G, 8, p)
             s8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1)
@@ -755,27 +795,58 @@ def _stream_kernel(
                     0.0, alpha,
                 )
                 om = 1.0 - a  # >= 0.01 wherever a > 0, == 1 where a == 0
-                cum = cumprod_sublanes(om)
-                # exclusive product = inclusive shifted down one row (top
-                # row = 1) — replaces the former per-element divide
-                # T_excl = T_incl/om (a divide costs ~10 VPU ops; the
-                # shift is one roll + one select on a constant mask)
-                cum_excl = jnp.where(sub >= 1, pltpu.roll(cum, 1, 0), 1.0)
-                # T_run factors out of T_incl/T_excl: test the crossing
-                # against thr = 1e-4/T_run (one (1,P) divide) and scale
-                # the feature matmul output by T_run instead of w —
-                # neither T_incl nor T_excl is ever materialized.
-                # cum is monotone nonincreasing down the chunk, so
-                # crossed rows form a suffix: crossed[i-1] implies
-                # crossed[i], making the reference's separate
-                # crossed-before test redundant — the crossing row and
-                # everything after it are excluded by ~crossed alone
-                # (the crossing Gaussian is NOT composited,
-                # forward.cu:349-354)
-                thr = 1e-4 / T_run  # T_run > 0 always (>= ~1e-4 alive)
-                crossed = cum < thr
-                applied = (dead == 0.0) & ~crossed
-                w = a * cum_excl * applied  # (chunk, P)
+                if scan_mode == "mxu":
+                    # log-space MXU cumsum: incl[i] = sum_{j<=i} log2(om_j)
+                    # via the 0/1 triangular matmul, exact-split bf16x3
+                    # (l = l_hi + l_mid + l_lo exactly; 1.0 * part exact).
+                    # a == 0 rows give l == 0 — inert, like om == 1 in
+                    # the scan path. om >= 0.01 keeps l >= -6.65 (finite).
+                    l = jnp.log2(om)
+                    l_hi = l.astype(jnp.bfloat16)
+                    r1 = l - l_hi.astype(jnp.float32)
+                    l_mid = r1.astype(jnp.bfloat16)
+                    l_lo = (r1 - l_mid.astype(jnp.float32)).astype(
+                        jnp.bfloat16)
+
+                    def _tdot(x):
+                        return jax.lax.dot_general(
+                            tri, x, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+
+                    incl = _tdot(l_hi) + _tdot(l_mid) + _tdot(l_lo)
+                    # crossing/threshold/exclusive-product all in log2:
+                    # T_incl < 1e-4/T_run  <=>  incl < log2(1e-4) - tlog
+                    thr_log = -13.287712379549449 - jnp.log2(T_run)
+                    crossed = incl < thr_log
+                    applied = (dead == 0.0) & ~crossed
+                    # T_excl = 2^(incl - l); first/inert rows hit
+                    # exp2(0) == 1 exactly
+                    w = a * jnp.exp2(incl - l) * applied
+                else:
+                    cum = cumprod_sublanes(om)
+                    # exclusive product = inclusive shifted down one row
+                    # (top row = 1) — replaces the former per-element
+                    # divide T_excl = T_incl/om (a divide costs ~10 VPU
+                    # ops; the shift is one roll + one select on a
+                    # constant mask)
+                    cum_excl = jnp.where(
+                        sub >= 1, pltpu.roll(cum, 1, 0), 1.0)
+                    # T_run factors out of T_incl/T_excl: test the
+                    # crossing against thr = 1e-4/T_run (one (1,P)
+                    # divide) and scale the feature matmul output by
+                    # T_run instead of w — neither T_incl nor T_excl is
+                    # ever materialized. cum is monotone nonincreasing
+                    # down the chunk, so crossed rows form a suffix:
+                    # crossed[i-1] implies crossed[i], making the
+                    # reference's separate crossed-before test redundant
+                    # — the crossing row and everything after it are
+                    # excluded by ~crossed alone (the crossing Gaussian
+                    # is NOT composited, forward.cu:349-354)
+                    thr = 1e-4 / T_run  # T_run > 0 (>= ~1e-4 alive)
+                    crossed = cum < thr
+                    applied = (dead == 0.0) & ~crossed
+                    w = a * cum_excl * applied  # (chunk, P)
                 feat = b[:, 8 : 8 + c_out]  # (chunk, c_out); pad cols zero
 
                 def _dot(f, ww, prec):
@@ -785,7 +856,7 @@ def _stream_kernel(
                         precision=prec,
                     )  # (c_out, P)
 
-                if _FEAT_PRECISION == "high":
+                if feat_precision == "high":
                     # bf16x3 by hand: hi/lo splits are EXACT bf16 values,
                     # the dropped f_lo·w_lo term is ~2^-18 relative, so
                     # the contraction lands ~1e-6 of f32 while running 3
@@ -802,24 +873,37 @@ def _stream_kernel(
                                   + _dot(f_lo, w_hi, prec)))
                 else:
                     prec = (jax.lax.Precision.HIGHEST
-                            if _FEAT_PRECISION == "highest"
+                            if feat_precision == "highest"
                             else jax.lax.Precision.DEFAULT)
                     contrib = _dot(feat, w, prec)
                 acc = acc + T_run * contrib
-                # crossing detection: cum monotone ⇒ crossed anywhere in
-                # the chunk ⇔ crossed at the LAST row (one (1,P) compare
-                # instead of a (chunk,P) max-reduce)
-                dead = jnp.maximum(
-                    dead,
-                    (cum[chunk - 1 : chunk, :] < thr).astype(jnp.float32),
-                )
+                # crossing detection: cum/incl monotone ⇒ crossed
+                # anywhere in the chunk ⇔ crossed at the LAST row (one
+                # (1,P) compare instead of a (chunk,P) max-reduce).
                 # T after this chunk = T_incl at the LAST applied row;
-                # cum is monotone nonincreasing over applied rows, so a
-                # min-reduce gets it (reduce_prod has no Mosaic lowering);
-                # empty applied set -> fill 1.0 -> T_run unchanged
-                T_run = T_run * jnp.min(
-                    jnp.where(applied, cum, 1.0), axis=0, keepdims=True
-                )
+                # monotone over applied rows, so a min-reduce gets it
+                # (reduce_prod has no Mosaic lowering); empty applied
+                # set -> identity fill -> T_run unchanged
+                if scan_mode == "mxu":
+                    dead = jnp.maximum(
+                        dead,
+                        (incl[chunk - 1 : chunk, :] < thr_log).astype(
+                            jnp.float32),
+                    )
+                    T_run = T_run * jnp.exp2(jnp.min(
+                        jnp.where(applied, incl, 0.0), axis=0,
+                        keepdims=True,
+                    ))
+                else:
+                    dead = jnp.maximum(
+                        dead,
+                        (cum[chunk - 1 : chunk, :] < thr).astype(
+                            jnp.float32),
+                    )
+                    T_run = T_run * jnp.min(
+                        jnp.where(applied, cum, 1.0), axis=0,
+                        keepdims=True,
+                    )
                 if with_contrib:
                     # per-pixel count of pre-termination positions (the
                     # reference's last_contributor, backward.cu:431-441);
@@ -1006,6 +1090,9 @@ def blend_stream(
         channels=channels,
         downscale=ds,
         tps=tps,
+        scan_mode=None if config.scan == "env" else config.scan,
+        feat_precision=(None if config.feat_precision == "env"
+                        else config.feat_precision),
     )
     out_o = pl.pallas_call(
         kernel,

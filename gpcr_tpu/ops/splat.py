@@ -184,11 +184,26 @@ def project_points(mean3d, projmatrix):
     return p_hom[..., :3] * p_w[..., None]
 
 
-def conic_and_radius(cov2d):
+def conic_and_radius(cov2d, opacity=None):
     """Invert the 2D covariance and bound the splat extent
     (forward.cu:222-235).
 
-    Returns (conic (N,3), radius (N,), det_valid (N,) bool).
+    Returns (conic (N,3), radius (N,), det_valid (N,) bool), plus a
+    TIGHT radius (N,) appended when ``opacity`` is given.
+
+    The reference uses a blanket 3-sigma radius. With ``opacity`` the
+    tight radius exploits the blend's own 1/255 alpha skip
+    (forward.cu:318-320): alpha = op*exp(-q/2) >= 1/255 requires
+    q <= thr = 2*ln(255*op), and q = d^T Sigma^{-1} d >= |d|^2/lambda_max,
+    so every pixel farther than sqrt(thr*lambda_max) is skipped by the
+    blend anyway. getRect's far edges only guarantee |dx| > r - 1 for
+    excluded tiles (the trunc((p + r + tile - 1)/tile) convention,
+    auxiliary.h:46-56), so the tight radius carries a +1 slack:
+    r_tight = ceil(sqrt(min(9, thr)*lambda_max)) + 1, clamped at the
+    reference radius so opaque splats (thr >= 9) keep rects (and thus
+    the reference's own 3-sigma alpha cut) BIT-EXACT. op <= 1/255
+    splats are culled outright (r_tight = 0): alpha <= op < 1/255 at
+    every pixel.
     """
     det = cov2d[..., 0] * cov2d[..., 2] - cov2d[..., 1] * cov2d[..., 1]
     det_valid = det != 0.0
@@ -201,8 +216,20 @@ def conic_and_radius(cov2d):
     disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     lambda1 = mid + disc
     lambda2 = mid - disc
-    radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, lambda2)))
-    return conic, radius, det_valid
+    lmax = jnp.maximum(lambda1, lambda2)
+    radius = jnp.ceil(3.0 * jnp.sqrt(lmax))
+    if opacity is None:
+        return conic, radius, det_valid
+    thr = 2.0 * jnp.log(255.0 * jnp.maximum(opacity, 1e-12))
+    r_tight = jnp.where(
+        thr > 0.0,
+        jnp.minimum(
+            radius,
+            jnp.ceil(jnp.sqrt(jnp.minimum(9.0, thr) * lmax)) + 1.0,
+        ),
+        0.0,
+    )
+    return conic, radius, det_valid, r_tight
 
 
 def get_rect(point_image, radius, grid_x, grid_y, tile_x, tile_y):

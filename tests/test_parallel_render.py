@@ -163,3 +163,59 @@ def test_simple_render_sharded_cli_path():
     np.testing.assert_allclose(
         np.asarray(got["rgb"]), np.asarray(ref["rgb"]), atol=2e-5
     )
+
+
+def test_tile_sharded_per_shard_budget_overflow():
+    """One shard's tile slice overflows its LOCAL k_budget while the
+    others don't: the reported overflow must be the per-shard MAX
+    (parallel/render.py — conservative accounting), and a budget large
+    enough for every shard must report zero (VERDICT r4 weak #6)."""
+    assert len(jax.devices()) == 8
+    W = H = 64  # 4x4 tiles; shard i owns 2 tiles
+    n = 60
+    rng = np.random.RandomState(7)
+    # cluster every splat into the image's top-left corner so shard 0's
+    # tile slice receives nearly all entries
+    means = rng.uniform(-0.55, -0.25, (n, 3)).astype(np.float32)
+    means[:, 2] = rng.uniform(-0.1, 0.1, n)
+    scales = np.full((n, 3), 0.02, np.float32)
+    rots = np.tile(np.array([1.0, 0, 0, 0], np.float32), (n, 1))
+    ops_ = np.full((n,), 0.8, np.float32)
+    feats = rng.rand(n, 3).astype(np.float32)
+    view_t, full_t, tanfov, campos = make_camera_matrices([0.0, 0.0, -2.5], W, H)
+    settings = R.GaussianRasterizationSettings(
+        image_height=H, image_width=W, tanfovx=tanfov, tanfovy=tanfov,
+        bg=jnp.zeros(3), scale_modifier=1.0, viewmatrix=view_t,
+        projmatrix=full_t, sh_degree=0, campos=campos,
+    )
+    base_cfg = R.RasterizeConfig(max_dup_per_gaussian=16, chunk_size=32,
+                                 tile_batch=4)
+    # per-shard entry counts with an ample budget (ground truth)
+    prep = R.preprocess(jnp.asarray(means), jnp.asarray(ops_), settings,
+                        base_cfg, scales=jnp.asarray(scales),
+                        rotations=jnp.asarray(rots),
+                        colors_precomp=jnp.asarray(feats))
+    per_shard = []
+    for sh in range(8):
+        _, st, _ = R.tile_bin(prep, 16, 4, base_cfg._replace(k_budget=4096),
+                              tile_window=(sh * 2, 2))
+        per_shard.append(int(st[-1]))
+    assert max(per_shard) > 8 and min(per_shard) == 0, per_shard
+
+    mesh = make_mesh(sp=8)
+    kb = 8  # below the busiest shard's count, above the empty ones'
+    with mesh:
+        _, _, _, ovf = rasterize_tile_sharded(
+            jnp.asarray(means), jnp.asarray(ops_), settings, mesh, axis="sp",
+            scales=jnp.asarray(scales), rotations=jnp.asarray(rots),
+            colors_precomp=jnp.asarray(feats),
+            config=base_cfg._replace(k_budget=kb),
+        )
+        _, _, _, ovf_ok = rasterize_tile_sharded(
+            jnp.asarray(means), jnp.asarray(ops_), settings, mesh, axis="sp",
+            scales=jnp.asarray(scales), rotations=jnp.asarray(rots),
+            colors_precomp=jnp.asarray(feats),
+            config=base_cfg._replace(k_budget=4096),
+        )
+    assert int(ovf) == max(per_shard) - kb, (int(ovf), per_shard)
+    assert int(ovf_ok) == 0

@@ -374,3 +374,57 @@ def test_oracle_fast_matches_scalar():
     np.testing.assert_array_equal(a_radii, b_radii)
     np.testing.assert_allclose(a_out, b_out, atol=2e-6)
     np.testing.assert_allclose(a_T, b_T, atol=2e-6)
+
+
+def test_opacity_radius_bit_exact_and_tighter():
+    """Opacity-aware rects (config.opacity_radius) keep the image
+    BIT-IDENTICAL — dropped (splat, tile) pairs fail the blend's own
+    alpha >= 1/255 skip at every tile pixel (forward.cu:318-320) — while
+    shrinking the entry stream for low-opacity splats and culling
+    op <= 1/255 splats outright. Radii output keeps the 3-sigma values."""
+    W = H = 64
+    means, scales, rots, _, feats = random_scene(150, seed=11, scale=0.15)
+    rng = np.random.RandomState(3)
+    # mostly low opacities (learned-splat-like) + a few below 1/255
+    ops = rng.uniform(0.002, 0.3, (150,)).astype(np.float32)
+    ops[:10] = rng.uniform(1e-5, 1.0 / 256.0, (10,))
+    view_t, full_t, tanfov, campos = make_camera_matrices([0.0, 0.1, -2.4], W, H)
+    settings = R.GaussianRasterizationSettings(
+        image_height=H, image_width=W, tanfovx=tanfov, tanfovy=tanfov,
+        bg=jnp.asarray([0.1, 0.7, 0.3]), scale_modifier=1.0,
+        viewmatrix=view_t, projmatrix=full_t, sh_degree=0, campos=campos,
+    )
+    cfg = R.RasterizeConfig(max_dup_per_gaussian=64, chunk_size=32,
+                            tile_batch=4)
+    args = dict(scales=jnp.asarray(scales), rotations=jnp.asarray(rots),
+                colors_precomp=jnp.asarray(feats))
+    c_ref, radii_ref, ex_ref = R.rasterize_gaussians(
+        jnp.asarray(means), jnp.asarray(ops), settings, config=cfg,
+        return_extra=True, **args)
+    cfg_t = cfg._replace(opacity_radius=True)
+    c_t, radii_t, ex_t = R.rasterize_gaussians(
+        jnp.asarray(means), jnp.asarray(ops), settings, config=cfg_t,
+        return_extra=True, **args)
+    # dropped pairs have weight EXACTLY 0 in the blend (alpha < 1/255
+    # -> om == 1.0), so the contributor set is identical; the only
+    # difference is chunk-boundary summation grouping (ULP-scale)
+    np.testing.assert_allclose(np.asarray(c_ref), np.asarray(c_t),
+                               atol=1e-6, rtol=0)
+    np.testing.assert_allclose(np.asarray(ex_ref["final_T"]),
+                               np.asarray(ex_t["final_T"]),
+                               atol=1e-6, rtol=0)
+    # radii API parity: tight rects must not change the returned radii
+    np.testing.assert_array_equal(np.asarray(radii_ref), np.asarray(radii_t))
+
+    def n_entries(c):
+        p = R.preprocess(jnp.asarray(means), jnp.asarray(ops), settings, c,
+                         **args)
+        area = (p.rect[:, 2] - p.rect[:, 0]) * (p.rect[:, 3] - p.rect[:, 1])
+        return int(jnp.sum(jnp.where(p.valid, area, 0)))
+
+    ne_ref, ne_t = n_entries(cfg), n_entries(cfg_t)
+    assert ne_t < ne_ref, (ne_t, ne_ref)
+    # sub-1/255 splats are culled outright
+    p_t = R.preprocess(jnp.asarray(means), jnp.asarray(ops), settings, cfg_t,
+                       **args)
+    assert not bool(np.asarray(p_t.valid)[:10].any())
