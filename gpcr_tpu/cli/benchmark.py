@@ -279,6 +279,11 @@ def build_parser():
     p.add_argument("--k_budget", type=int, default=7_500_000,
                    help="sorted-entry stream budget (0 = unbounded); "
                         "dropped entries are warned after the render")
+    p.add_argument("--no_opacity_radius", action="store_true",
+                   help="disable opacity-aware tile rects (exact "
+                        "contributor sets either way; the tight rects "
+                        "only shrink the entry stream — see "
+                        "RasterizeConfig.opacity_radius)")
     p.add_argument("--max_active_tiles", type=int, default=0,
                    help="grid budget on non-empty tiles (0 = all)")
     p.add_argument("--shard", type=str, default="none",

@@ -202,6 +202,7 @@ def bin_sorted_stream(
     config: R.RasterizeConfig,
     stage: str = "full",
     return_entries: bool = False,
+    tile_window=None,
 ):
     """Depth-presort -> duplicate -> ONE stable tile sort -> stream gather.
 
@@ -227,8 +228,21 @@ def bin_sorted_stream(
     the measured delta between prefixes, which fusion-blind isolated
     timings misstate (scripts/profile_stream_prefix.py). Cut outputs are
     shaped like the full ones but carry garbage past the cut.
+
+    ``tile_window=(base, count)`` bins only tiles [base, base+count) in
+    LOCAL tile ids (the per-shard binning of the tile-sharded multi-chip
+    path, mirroring R.tile_bin): the emit stays the full replicated
+    elementwise work, but the sort sentinel-sinks non-local entries, the
+    starts table has count+1 rows, and k_budget/overflow count LOCAL
+    entries only. ``base`` may be traced (shard_map axis index); ``count``
+    must be static. Forces the dense emit + global gather (the compact
+    and blocked variants assume the full tile range).
     """
     n = prep.depth.shape[0]
+    if tile_window is not None:
+        win_base, win_count = tile_window
+    else:
+        win_base, win_count = None, num_tiles
     cap = config.max_dup_per_gaussian
     ch = config.chunk_size
     k_full = n * cap
@@ -339,7 +353,7 @@ def bin_sorted_stream(
     # dense emit. rw packs as min(rw, cap): k < cap, so any clamped
     # value >= cap yields the same kdiv = 0 / kmod = k.
     grid_y = num_tiles // grid_x
-    compact = (not cull and _EMIT_COMPACT != "0"
+    compact = (not cull and _EMIT_COMPACT != "0" and win_base is None
                and grid_x <= 255 and grid_y <= 255 and cap <= 255
                and (_EMIT_COMPACT == "1" or kb * 2 <= k_full))
     rank_mode = _EMIT_LAYOUT == "rank" and not cull
@@ -347,7 +361,7 @@ def bin_sorted_stream(
     # 2-keys), the packed-rect presort payload, and a table taller than
     # the window (otherwise the global gather is already below the cliff)
     blocked = (_STREAM_GATHER == "blocked" and rank_mode and not compact
-               and pack_ok and n + 1 > _STREAM_WINDOW)
+               and win_base is None and pack_ok and n + 1 > _STREAM_WINDOW)
     if blocked:
         # spatial orders: spos = position in (primary-tile, rank) order.
         # Entries of one tile reference only gaussians whose primary tile
@@ -528,6 +542,14 @@ def bin_sorted_stream(
             dup_valid, gidx_s[:, None], n
         ).reshape(-1)
 
+    if win_base is not None:
+        # per-shard remap: local ids for window tiles, sentinel (count)
+        # for everything else (incl. the old num_tiles sentinel); the
+        # budget/overflow then count LOCAL entries only
+        local = (tile_flat >= win_base) & (tile_flat < win_base + win_count)
+        tile_flat = jnp.where(
+            local, tile_flat - win_base, win_count).astype(jnp.int32)
+        g_flat = jnp.where(local, g_flat, n)
     if _SORT_BARRIER:
         tile_flat, g_flat = jax.lax.optimization_barrier(
             (tile_flat, g_flat))
@@ -555,7 +577,9 @@ def bin_sorted_stream(
         return (sorted_tile, sorted_g, jnp.int32(0), jnp.int32(0))
     # count SURVIVING entries (post-cull) against the budget; the
     # compact branch computed its `total` already
-    if not compact:
+    if win_base is not None:
+        total = jnp.sum(local.astype(jnp.int32))
+    elif not compact:
         total = (jnp.sum(dup_valid.astype(jnp.int32)) if cull
                  else jnp.sum(area))
     overflow = overflow + jnp.maximum(total - kb, 0)
@@ -572,14 +596,14 @@ def bin_sorted_stream(
     # NEGATIVE RESULT (round 4): 'scatter' measures 61.5 vs 47.3
     # ms/frame — XLA lowers the 1.8M-update scatter-min far below the
     # sort/searchsorted rates; kept as the A/B record.
-    if _STARTS_METHOD == "scatter":
+    if _STARTS_METHOD == "scatter" and win_base is None:
         starts = jax.lax.cummin(
             jnp.full((num_tiles + 1,), kb, jnp.int32)
             .at[sorted_tile[:kb]]
             .min(jnp.arange(kb, dtype=jnp.int32), mode="drop"),
             reverse=True,
         )
-    elif _STARTS_METHOD == "hier" and kb % 128 == 0:
+    elif _STARTS_METHOD == "hier" and kb % 128 == 0 and win_base is None:
         # 2-level exact searchsorted over the sorted entry tiles.
         # start(t) = #entries < t. Reshape the kb-entry key list to
         # (kb/128, 128) rows; rows wholly below t are counted by one
@@ -600,8 +624,10 @@ def bin_sorted_stream(
         ).astype(jnp.int32)
     else:
         starts = jnp.searchsorted(
-            sorted_tile[:kb], jnp.arange(num_tiles + 1, dtype=jnp.int32),
-            side="left", method=_STARTS_METHOD,
+            sorted_tile[:kb],
+            jnp.arange(win_count + 1, dtype=jnp.int32),
+            side="left",
+            method=_STARTS_METHOD if _STARTS_METHOD != "hier" else "scan",
         ).astype(jnp.int32)
     if stage == "starts":
         return (sorted_g, jax.lax.optimization_barrier(starts), overflow,
@@ -645,6 +671,7 @@ def bin_sorted_stream(
 def _stream_kernel(
     order_ref,  # scalar prefetch: (G,) i32 tile ids, actives first
     starts_ref,  # scalar prefetch: (num_tiles+2,) i32 entry offsets
+    base_ref,  # scalar prefetch: (1,) i32 global tile id of local tile 0
     stream_hbm,  # (kb + chunk, ncols) f32, ANY (stays in HBM)
     out_ref,  # (tps, c_out, P) f32 VMEM — rows [:C]=acc, row c_out-1 = T
     buf,  # VMEM scratch (tps, 2, chunk, ncols) — per-tile double buffers
@@ -750,8 +777,11 @@ def _stream_kernel(
             dma(j, 1, 1, s).start()
 
     for j, (t, s, e, nch) in enumerate(infos):
-        px = ((t % grid_x) * tile_x + colp % tile_x).astype(jnp.float32)
-        py = ((t // grid_x) * tile_y + colp // tile_x).astype(jnp.float32)
+        # pixel coords come from the GLOBAL tile id (tile-sharded runs
+        # pass local ids + the shard's window base; base is 0 otherwise)
+        tg = t + base_ref[0]
+        px = ((tg % grid_x) * tile_x + colp % tile_x).astype(jnp.float32)
+        py = ((tg // grid_x) * tile_y + colp // tile_x).astype(jnp.float32)
         # NEGATIVE RESULT (round 4): factoring power as a (chunk,6)@(6,P)
         # MXU matmul over the quadratic pixel basis (tile-local coords
         # for f32 exactness) measured 53.9 vs 49.6 ms/frame — K=6
@@ -1004,7 +1034,7 @@ def _stream_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("num_tiles", "grid_x", "config", "channels", "interpret",
-                     "stage"),
+                     "stage", "tile_count"),
 )
 def blend_stream(
     prep: R.Preprocessed,
@@ -1015,6 +1045,8 @@ def blend_stream(
     channels: int,
     interpret: bool = False,
     stage: str = "full",
+    tile_base=None,
+    tile_count: int = None,
 ):
     """Bin + blend with the streaming kernel.
 
@@ -1024,6 +1056,13 @@ def blend_stream(
     ``stage``: profiling-only prefix cut (see bin_sorted_stream; extra
     values here: "bin" = binning complete, "kernel" = skip the
     order->tile unpermute/composite epilogue).
+
+    ``tile_base``/``tile_count``: bin + blend only tiles
+    [tile_base, tile_base+tile_count) — the per-shard slice of the
+    tile-sharded multi-chip path. Outputs are (count, P, C)/(count, P)
+    LOCAL tile blocks; pixel coordinates stay global (the kernel adds
+    the base). ``tile_base`` may be traced (shard_map axis index);
+    ``tile_count`` is static.
     """
     p = config.tile_x * config.tile_y
     ds = config.downscale
@@ -1038,8 +1077,11 @@ def blend_stream(
         probe = (a.reshape(-1)[0].astype(jnp.float32)
                  + b.reshape(-1)[0].astype(jnp.float32))
         return z.at[0, 0, 0].add(probe), z[:, :, 0], c, jnp.int32(0)
+    tile_window = (None if tile_count is None
+                   else (tile_base, tile_count))
+    nt_local = num_tiles if tile_count is None else tile_count
     stream, starts, overflow, win_drop = bin_sorted_stream(
-        prep, num_tiles, grid_x, config
+        prep, num_tiles, grid_x, config, tile_window=tile_window
     )
     if stage == "bin":
         z = jnp.zeros((num_tiles, p_out, channels), jnp.float32)
@@ -1052,7 +1094,7 @@ def blend_stream(
 
     counts = starts[1:] - starts[:-1]
     order = jnp.argsort(-counts).astype(jnp.int32)
-    n_grid = min(config.max_active_tiles or num_tiles, num_tiles)
+    n_grid = min(config.max_active_tiles or nt_local, nt_local)
     if n_grid < num_tiles:
         # tiles beyond the grid budget never render: count as overflow
         overflow = overflow + jnp.sum(counts[order[n_grid:]])
@@ -1062,12 +1104,14 @@ def blend_stream(
     # comes from the extra starts row appended below
     order_g = jnp.concatenate(
         [order[:n_grid],
-         jnp.full((n_pad - n_grid,), num_tiles, jnp.int32)]
+         jnp.full((n_pad - n_grid,), nt_local, jnp.int32)]
     )
     starts_k = jnp.concatenate([starts, starts[-1:]])
+    base_arr = (jnp.zeros((1,), jnp.int32) if tile_count is None
+                else jnp.asarray(tile_base, jnp.int32).reshape(1))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_pad // tps,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
@@ -1099,7 +1143,7 @@ def blend_stream(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, c_out, p_out), jnp.float32),
         interpret=interpret,
-    )(order_g, starts_k, stream)
+    )(order_g, starts_k, base_arr, stream)
     out_o = out_o[:n_grid]
     if stage == "kernel":
         return (out_o[:, :channels, :].transpose(0, 2, 1),
@@ -1112,17 +1156,17 @@ def blend_stream(
     if _UNPERM == "gather":
         sentinel = jnp.zeros((1, c_out, p_out), jnp.float32)
         sentinel = sentinel.at[:, c_out - 1, :].set(1.0)
-        inv = jnp.full((num_tiles,), n_grid, jnp.int32).at[order_g].set(
-            jnp.arange(n_grid, dtype=jnp.int32)
+        inv = jnp.full((nt_local,), n_grid, jnp.int32).at[order_g].set(
+            jnp.arange(n_grid, dtype=jnp.int32), mode="drop"
         )
         out_t = jnp.concatenate([out_o, sentinel], axis=0)[inv]
-    elif n_grid < num_tiles:
-        base = jnp.zeros((num_tiles, c_out, p_out), jnp.float32)
+    elif n_grid < nt_local:
+        base = jnp.zeros((nt_local, c_out, p_out), jnp.float32)
         base = base.at[:, c_out - 1, :].set(1.0)
         out_t = base.at[order_g].set(out_o)
     else:
         out_t = jnp.zeros(
-            (num_tiles, c_out, p_out), jnp.float32
+            (nt_local, c_out, p_out), jnp.float32
         ).at[order_g].set(out_o)
     t_run = out_t[:, c_out - 1, :]  # (num_tiles, P)
     acc = out_t[:, :channels, :].transpose(0, 2, 1)  # (num_tiles, P, C)

@@ -331,7 +331,7 @@ def _fwd_impl(num_tiles, grid_x, config, channels, interpret, diff, aux):
     starts_k = jnp.concatenate([starts, starts[-1:]])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_pad // tps,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
@@ -354,7 +354,7 @@ def _fwd_impl(num_tiles, grid_x, config, channels, interpret, diff, aux):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, c_out, p), jnp.float32),
         interpret=interpret,
-    )(order_g, starts_k, stream)[:n_grid]
+    )(order_g, starts_k, jnp.zeros((1,), jnp.int32), stream)[:n_grid]
 
     sentinel = jnp.zeros((1, c_out, p), jnp.float32)
     sentinel = sentinel.at[:, c_out - 1, :].set(1.0)

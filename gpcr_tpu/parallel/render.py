@@ -20,6 +20,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..ops import rasterize as R
+from ..ops import rasterize_stream as S
 
 
 def rasterize_tile_sharded(
@@ -49,9 +50,18 @@ def rasterize_tile_sharded(
       sort payload movement, the entry gather, and the starts table are
       all local. No cross-device traffic: a tile's entries are fully
       determined by the replicated preprocess;
-    - each device blends its num_tiles / axis_size tiles; the (C, H, W)
-      image is reassembled from the gathered tile shards (one
-      all_gather over ICI at assembly).
+    - each device blends its num_tiles / axis_size tiles — through the
+      production Pallas stream kernel when config.impl == 'stream'
+      (blend_stream tile_window, round 5; interpret-mode on CPU meshes)
+      or the XLA blend otherwise; the (C, H, W) image is reassembled
+      from the gathered tile shards (one all_gather over ICI at
+      assembly).
+
+    Measured vs projected: per-shard binning + kernel costs are
+    MEASURED single-chip (PERFORMANCE.md); multi-chip scaling is a
+    PROJECTION from those shares (no multi-chip hardware in this
+    environment — correctness is CPU-mesh parity-tested, including the
+    stream-kernel path in interpret mode).
     """
     H, W = settings.image_height, settings.image_width
     grid_x = -(-W // config.tile_x)
@@ -78,9 +88,31 @@ def rasterize_tile_sharded(
         [packed_all, jnp.zeros((1, 6 + channels))], axis=0
     )
 
+    use_stream = config.impl == "stream"
+    if use_stream:
+        # the production Pallas path needs a Mosaic target; on CPU
+        # meshes (the dryrun/test harness) run it in interpret mode
+        interpret = jax.devices()[0].platform != "tpu"
+
     def shard_fn(packed_all, prep):
         d = jax.lax.axis_index(axis)
         base = d * tiles_local
+        if use_stream:
+            # round-5: the per-shard binning AND the production stream
+            # kernel both run windowed — each shard sorts, gathers, and
+            # blends only its own tile slice (blend_stream tile_window;
+            # pixel coords stay global via the kernel's base offset).
+            # Replaces the round-4 XLA _blend_one_tile vmap, which was
+            # ~3x the stream kernel's cost (PERFORMANCE.md).
+            out_l, t_run, ovf, _wd = S.blend_stream(
+                prep, settings.bg, num_tiles, grid_x, config, channels,
+                interpret=interpret, tile_base=base,
+                tile_count=tiles_local,
+            )
+            # blend_stream composites bg itself; strip it back out so
+            # the assembly below stays shared with the XLA branch
+            acc = out_l - t_run[..., None] * settings.bg[None, None, :]
+            return acc, t_run, ovf[None]
         # per-shard binning: local sort slice, local starts table
         sorted_gidx, starts, ovf = R.tile_bin(
             prep, num_tiles, grid_x, config,

@@ -113,7 +113,11 @@ def main():
     scene = build_scene()
     results = {}
     for name in sel:
-        results[name] = run_config(name, named[name], scene)
+        if name.startswith("kb="):
+            cfg = base._replace(k_budget=int(name[3:]))
+        else:
+            cfg = named[name]
+        results[name] = run_config(name, cfg, scene)
     b = results.get("base")
     if b:
         for name, ms in results.items():

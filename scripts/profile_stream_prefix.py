@@ -39,6 +39,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--chunk", type=int, default=256)
     ap.add_argument("--max_active", type=int, default=6144)
+    ap.add_argument("--shape", default="bench", choices=["bench", "learned"],
+                    help="'learned' = the pcrender CLI shape: 512^2 out "
+                    "x2SS (1024^2 internal), dup_cap 16, k_budget 7.5M, "
+                    "anisotropic low-opacity splats (the deployed "
+                    "clamp(0,1) opacities)")
+    ap.add_argument("--opacity_radius", type=int, default=-1,
+                    help="-1 = shape default (bench: off, learned: on)")
     ap.add_argument("--stages", default="presort,packed,emit,sort,starts,"
                     "bin,kernel,full",
                     help="comma list (one process compiles each; split "
@@ -47,7 +54,8 @@ def main():
 
     rng = np.random.RandomState(0)
     n = 800_000
-    res, ssrate, sf, fov = 1024, 2, 448, 45.0
+    learned = args.shape == "learned"
+    res, ssrate, sf, fov = (512 if learned else 1024), 2, 448, 45.0
     v = rng.randn(n, 3)
     v /= np.linalg.norm(v, axis=1, keepdims=True)
     v[:, 1] *= 1.6
@@ -68,9 +76,12 @@ def main():
         [sh_utils.RGB2SH(jnp.asarray(rgb))[:, None, :], jnp.zeros((n, 12, 3))],
         axis=1,
     )
+    opr = (learned if args.opacity_radius < 0 else bool(args.opacity_radius))
     config = R.RasterizeConfig(
-        max_dup_per_gaussian=4, chunk_size=args.chunk,
-        k_budget=1_800_000, max_active_tiles=args.max_active, impl="stream",
+        max_dup_per_gaussian=16 if learned else 4, chunk_size=args.chunk,
+        k_budget=7_500_000 if learned else 1_800_000,
+        max_active_tiles=args.max_active, impl="stream",
+        opacity_radius=opr,
     )
     H = W = res * ssrate
     grid_x = -(-W // config.tile_x)
@@ -85,16 +96,32 @@ def main():
         [sh_utils.eval_sh_color(1, shs, means, settings.campos),
          means, jnp.ones_like(means), jnp.zeros_like(means)], axis=-1
     )
+    if learned:
+        # learned-splat-like params: anisotropic scales around the
+        # voxel pitch, random rotations, clamp(0,1)-style opacities
+        ops = jnp.asarray(rng.uniform(0.0, 1.0, (n,)), jnp.float32)
+        scales_ = jnp.asarray(
+            rng.uniform(0.5, 2.5, (n, 3)), jnp.float32) * (1.0 / sf)
+        rots_ = jnp.asarray(rng.randn(n, 4), jnp.float32)
+        rots_ = rots_.at[:, 0].add(2.0)
+    else:
+        ops = jnp.ones((n,))
+        scales_ = jnp.ones((n, 3)) * (1.0 / sf)
+        rots_ = jnp.broadcast_to(jnp.array([1.0, 0, 0, 0]), (n, 4))
     prep = jax.jit(functools.partial(
         R.preprocess, settings=settings, config=config))(
-        means, jnp.ones((n,)), scales=jnp.ones((n, 3)) * (1.0 / sf),
-        rotations=jnp.broadcast_to(jnp.array([1.0, 0, 0, 0]), (n, 4)),
+        means, ops, scales=scales_, rotations=rots_,
         colors_precomp=feats)
+    area = (prep.rect[:, 2] - prep.rect[:, 0]) * (
+        prep.rect[:, 3] - prep.rect[:, 1])
+    tot = int(jnp.sum(jnp.where(prep.valid, area, 0)))
+    print(f"shape={args.shape} opacity_radius={opr} entries={tot} "
+          f"k_budget={config.k_budget}")
 
     stages = [s for s in args.stages.split(",") if s]
     prev = 0.0
     print(f"chunk={args.chunk} max_active={args.max_active} "
-          f"tps={config.tiles_per_step}")
+          f"tps={config.tiles_per_step} cap={config.max_dup_per_gaussian}")
     for st in stages:
         def step(s, pr, st=st):
             p2 = pr._replace(depth=pr.depth + s * 1e-20)

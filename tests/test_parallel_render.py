@@ -219,3 +219,40 @@ def test_tile_sharded_per_shard_budget_overflow():
         )
     assert int(ovf) == max(per_shard) - kb, (int(ovf), per_shard)
     assert int(ovf_ok) == 0
+
+
+def test_tile_sharded_stream_kernel_matches_single():
+    """The round-5 stream-kernel tile-sharded path (blend_stream with
+    tile_window, interpret mode on the CPU mesh) matches the
+    single-device exact rasterizer."""
+    assert len(jax.devices()) == 8
+    W = H = 64
+    means, scales, rots, ops_, feats = random_scene(120, seed=9)
+    view_t, full_t, tanfov, campos = make_camera_matrices([0.0, -0.1, -2.4],
+                                                          W, H)
+    bg = jnp.asarray([0.2, 0.4, 0.6])
+    settings = R.GaussianRasterizationSettings(
+        image_height=H, image_width=W, tanfovx=tanfov, tanfovy=tanfov,
+        bg=bg, scale_modifier=1.0, viewmatrix=view_t, projmatrix=full_t,
+        sh_degree=0, campos=campos,
+    )
+    cfg = R.RasterizeConfig(max_dup_per_gaussian=32, chunk_size=32,
+                            tile_batch=4, impl="stream", tiles_per_step=2)
+    c_ref, _ = R.rasterize_gaussians(
+        jnp.asarray(means), jnp.asarray(ops_), settings,
+        scales=jnp.asarray(scales), rotations=jnp.asarray(rots),
+        colors_precomp=jnp.asarray(feats),
+        config=cfg._replace(impl="xla"),
+    )
+    mesh = make_mesh(sp=8)
+    with mesh:
+        c_sh, _, _, ovf = rasterize_tile_sharded(
+            jnp.asarray(means), jnp.asarray(ops_), settings, mesh,
+            axis="sp", scales=jnp.asarray(scales),
+            rotations=jnp.asarray(rots),
+            colors_precomp=jnp.asarray(feats), config=cfg,
+        )
+    assert int(ovf) == 0
+    np.testing.assert_allclose(
+        np.asarray(c_sh), np.asarray(c_ref), atol=1e-5, rtol=1e-5
+    )
