@@ -108,6 +108,9 @@ def main():
         "mxu": base._replace(scan="mxu"),
         "bf16+mxu": base._replace(feat_precision="default", scan="mxu"),
         "kb1.6M": base._replace(k_budget=1_600_000),
+        "kb1.7M": base._replace(k_budget=1_700_096),
+        "bf16+kb1.7M": base._replace(k_budget=1_700_096,
+                                     feat_precision="default"),
     }
     sel = sys.argv[1:] or ["base", "bf16", "kb1.6M", "base"]
     scene = build_scene()

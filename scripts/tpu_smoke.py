@@ -144,3 +144,76 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def grad_small(platform: str):
+    """One differentiable fwd+bwd step in a subprocess pinned to
+    `platform`. On TPU this exercises the custom_vjp replay-kernel
+    backward (ops/rasterize_stream_vjp.py — impl='stream' routes to it
+    on real hardware); on CPU the XLA differentiable-scan oracle.
+    Returns dict(loss=float, gmeans=..., gscales=..., gops=...)."""
+    out_pth = f"/tmp/smoke_grad_{platform}.npz"
+    code = f"""
+import sys, json
+sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+import jax
+
+from gpcr_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+{'jax.config.update("jax_platforms", "cpu")' if platform == 'cpu' else ''}
+import numpy as np
+import jax.numpy as jnp
+import functools
+from gpcr_tpu.ops import rasterize as R
+from gpcr_tpu.utils.timing import sync
+
+rng = np.random.RandomState(1)
+n = 3000
+means = jnp.asarray(rng.randn(n, 3) * 0.3 + np.array([0, 0, 2.5]), jnp.float32)
+scales = jnp.asarray(rng.rand(n, 3) * 0.05 + 0.01, jnp.float32)
+rots = jnp.asarray(rng.randn(n, 4), jnp.float32)
+op = jnp.asarray(rng.rand(n), jnp.float32)
+feats = jnp.asarray(rng.rand(n, 3), jnp.float32)
+
+view = jnp.eye(4)
+P = np.zeros((4, 4), np.float32)
+P[0, 0] = P[1, 1] = 1.0
+P[3, 2] = 1.0
+P[2, 2] = 100.0 / (100.0 - 0.01)
+P[2, 3] = -(100.0 * 0.01) / (100.0 - 0.01)
+settings = R.GaussianRasterizationSettings(
+    image_height=128, image_width=128, tanfovx=1.0, tanfovy=1.0,
+    bg=jnp.full((3,), 0.5), scale_modifier=1.0,
+    viewmatrix=view, projmatrix=jnp.asarray(P.T), sh_degree=0,
+    campos=jnp.zeros(3),
+)
+config = R.RasterizeConfig(
+    max_dup_per_gaussian=16, chunk_size=64, differentiable=True,
+    impl={"'stream'" if platform != 'cpu' else "'xla'"},
+)
+
+def loss_fn(means, scales, op):
+    out, _ = R.rasterize_gaussians(
+        means, op, settings=settings, config=config,
+        scales=scales, rotations=rots, colors_precomp=feats)
+    return jnp.sum(out * out)
+
+val, (gm, gs, go) = jax.jit(
+    jax.value_and_grad(loss_fn, argnums=(0, 1, 2)))(means, scales, op)
+sync((val, gm))
+np.savez({out_pth!r}, loss=np.asarray(val), gmeans=np.asarray(gm),
+         gscales=np.asarray(gs), gops=np.asarray(go))
+print(json.dumps(dict(platform=str(jax.devices()[0]))))
+"""
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=2400, env=subprocess_env(platform))
+    if r.returncode != 0:
+        raise RuntimeError(f"{platform} grad failed:\n{r.stderr[-2000:]}")
+    import json
+
+    line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
+    meta = json.loads(line)
+    data = dict(np.load(out_pth))
+    data["platform"] = meta["platform"]
+    return data
