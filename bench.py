@@ -51,6 +51,18 @@ def main():
                          "matches the reference's per-view dispatch "
                          "protocol and pays the full ~27 ms tunnel RTT "
                          "per frame")
+    ap.add_argument("--autotune_kb", default="1700000,1800000,1900000",
+                    help="comma-separated k_budget candidates swept "
+                         "in-process before the headline run ('' = off; "
+                         "only when --k_budget 0 and --impl stream). The "
+                         "1.8M-row stream gather's speed is a deterministic "
+                         "function of HBM buffer placement (PERFORMANCE.md "
+                         "'allocator lottery': ~210 vs ~95 M rows/s for "
+                         "identical ops at different buffer sizes), so the "
+                         "only portable way to land the fast mode is to "
+                         "measure each size in THIS process and keep the "
+                         "winner. Compiles are persistent-cached, so the "
+                         "sweep is a one-time cost per config.")
     args = ap.parse_args()
 
     import jax
@@ -99,30 +111,7 @@ def main():
     valid = jnp.ones((n,), bool)
     normal = jnp.zeros((n, 3))
 
-    k_budget = args.k_budget
-    if not k_budget and args.impl == "stream":
-        # stream path: bound the sorted entry stream (real entries ~1.65M at
-        # this config; overflow is counted and warned below)
-        k_budget = 1_800_000
-    config = R.RasterizeConfig(
-        max_dup_per_gaussian=args.dup_cap, chunk_size=args.chunk, tile_batch=256,
-        k_budget=k_budget or None,
-        max_active_tiles=args.max_active or None,
-        impl=args.impl, tiles_per_step=args.tps,
-    )
-
     vpd = max(1, args.views_per_dispatch)
-
-    def render_frame(view_t, full_t, campos):
-        # (q, 4, 4) inputs: q views in one dispatch
-        return render_views_fused(
-            view_t, full_t, campos,
-            means, scales, rotations, opacity, shs, normal, valid,
-            jnp.ones(3), rp["tanfov"],
-            height=rp["height"], width=rp["width"],
-            out_h=args.res, out_w=args.res, sh_degree=1,
-            config=config, with_normal=False,
-        )
 
     from gpcr_tpu.utils.timing import sync
 
@@ -130,17 +119,62 @@ def main():
         idx = np.array([(i + j) % args.frames for j in range(vpd)])
         return rp["view_t"][idx], rp["full_t"][idx], rp["campos"][idx]
 
-    # warmup / compile (sync forces a D2H barrier: block_until_ready is a
-    # no-op on the axon platform)
-    out = render_frame(*views(0))
-    sync(out)
+    def make_config(kb):
+        return R.RasterizeConfig(
+            max_dup_per_gaussian=args.dup_cap, chunk_size=args.chunk,
+            tile_batch=256, k_budget=kb or None,
+            max_active_tiles=args.max_active or None,
+            impl=args.impl, tiles_per_step=args.tps,
+        )
 
-    times = []
-    for i in range(args.frames):
-        t0 = time.perf_counter()
-        out = render_frame(*views(i))
-        sync(out)
-        times.append((time.perf_counter() - t0) * 1000.0 / vpd)
+    def make_render(cfg):
+        def render_frame(view_t, full_t, campos):
+            # (q, 4, 4) inputs: q views in one dispatch
+            return render_views_fused(
+                view_t, full_t, campos,
+                means, scales, rotations, opacity, shs, normal, valid,
+                jnp.ones(3), rp["tanfov"],
+                height=rp["height"], width=rp["width"],
+                out_h=args.res, out_w=args.res, sh_degree=1,
+                config=cfg, with_normal=False,
+            )
+        return render_frame
+
+    def measure(render_frame, reps):
+        # warmup / compile first (sync forces a D2H barrier:
+        # block_until_ready is a no-op on the axon platform)
+        sync(render_frame(*views(0)))
+        ts = []
+        for i in range(reps):
+            t0 = time.perf_counter()
+            out = render_frame(*views(i))
+            sync(out)
+            ts.append((time.perf_counter() - t0) * 1000.0 / vpd)
+        return ts
+
+    k_budget = args.k_budget
+    if not k_budget and args.impl == "stream":
+        # stream path: bound the sorted entry stream (real entries ~1.65M at
+        # this config; overflow is counted and warned below)
+        k_budget = 1_800_000
+        if args.autotune_kb:
+            # in-process allocator-lottery sweep: the gather speed is
+            # deterministic per (process, buffer layout), and re-measuring a
+            # size after intervening graphs reproduces its time (bench_ab
+            # process A: 46.3 / 62.1 / 46.1) — so a same-process sweep
+            # validly selects the fast mode for THIS run.
+            cand = [int(x) for x in args.autotune_kb.split(",") if x]
+            sweep = {}
+            for kb in cand:
+                ts = measure(make_render(make_config(kb)), min(3, args.frames))
+                sweep[kb] = float(np.median(ts))
+            k_budget = min(sweep, key=sweep.get)
+            print("# autotune_kb sweep (ms/frame): "
+                  + " ".join(f"{kb}:{ms:.1f}" for kb, ms in sweep.items())
+                  + f" -> k_budget={k_budget}", file=sys.stderr)
+
+    config = make_config(k_budget)
+    times = measure(make_render(config), args.frames)
 
     # overflow sanity for the chosen k_budget
     from gpcr_tpu.ops import rasterize as _R
@@ -183,6 +217,7 @@ def main():
     )
     print(
         f"# frames={args.frames} times_ms={[round(t, 1) for t in times]} "
+        f"k_budget={k_budget} "
         f"device={jax.devices()[0]} nonempty_tiles={n_nonempty} "
         f"max_active={args.max_active} dropped_tiles={dropped_tiles} "
         f"dropped_entries={dropped_entries}",
