@@ -63,6 +63,16 @@ def main():
                          "measure each size in THIS process and keep the "
                          "winner. Compiles are persistent-cached, so the "
                          "sweep is a one-time cost per config.")
+    ap.add_argument("--feat_precision", default="default",
+                    choices=["default", "high", "highest"],
+                    help="feature-contraction MXU precision. 'default' "
+                         "(1-pass bf16) is the headline default: the "
+                         "protocol this bench mirrors scores uint8 PNGs "
+                         "(reference pic_psnr.py:44) and the bf16 error "
+                         "(~4e-3 rel) is below one uint8 step (1/255); "
+                         "measured 47.3 -> 44.1 ms/frame (round 4). "
+                         "'highest' = f32-exact 6-pass for float-output "
+                         "consumers / golden parity.")
     args = ap.parse_args()
 
     import jax
@@ -125,6 +135,7 @@ def main():
             tile_batch=256, k_budget=kb or None,
             max_active_tiles=args.max_active or None,
             impl=args.impl, tiles_per_step=args.tps,
+            feat_precision=args.feat_precision,
         )
 
     def make_render(cfg):

@@ -124,6 +124,15 @@ def _raster_config(args):
         # the learned path's mostly-low opacities; a no-op for the
         # analytic simple path (opacity 1)
         opacity_radius=not getattr(args, "no_opacity_radius", False),
+        # 1-pass bf16 feature contraction by default: the CLI's output
+        # protocol is uint8 PNGs (save_pic, matching the reference's own
+        # PNG scoring in pic_psnr.py:44) and the bf16 error (~4e-3 rel)
+        # sits below one uint8 step (1/255 = 3.9e-3) — quantization-
+        # invisible almost everywhere. Measured 47.3 -> 44.1 ms/frame at
+        # the bench shape (round 4). --feat_f32 restores the f32-exact
+        # 6-pass MXU contraction for float-output consumers.
+        feat_precision=("highest" if getattr(args, "feat_f32", False)
+                        else "default"),
     )
 
 
@@ -276,9 +285,17 @@ def build_parser():
     p.add_argument("--down_sample_ratio", type=float, default=1.0)
     p.add_argument("--dup_cap", type=int, default=16,
                    help="tiles-per-splat cap for the stream rasterizer")
-    p.add_argument("--k_budget", type=int, default=7_500_000,
-                   help="sorted-entry stream budget (0 = unbounded); "
-                        "dropped entries are warned after the render")
+    p.add_argument("--k_budget", type=int, default=-1,
+                   help="sorted-entry stream budget (0 = unbounded, "
+                        "-1 = auto: sized to the scene's exact per-view "
+                        "entry count, bucketed to 256K — the gather and "
+                        "sort are linear in this, so auto beats any "
+                        "blanket default); dropped entries are warned "
+                        "after the render")
+    p.add_argument("--feat_f32", action="store_true",
+                   help="f32-exact 6-pass feature contraction instead of "
+                        "the default 1-pass bf16 (whose ~4e-3 error is "
+                        "below one uint8 step — see _raster_config)")
     p.add_argument("--no_opacity_radius", action="store_true",
                    help="disable opacity-aware tile rects (exact "
                         "contributor sets either way; the tight rects "

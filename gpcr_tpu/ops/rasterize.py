@@ -53,6 +53,10 @@ class RasterizeConfig(T.NamedTuple):
     differentiable: bool = False
     scan_impl: str = "cumprod"  # or "trimatmul": MXU tri-matmul in log space
     # flat/pallas-path static budgets (overflow is detected and reported):
+    # k_budget: cap on sorted entries laid out. -1 = AUTO at the renderer
+    # level only (render/renderer.py sizes it to the scene's exact
+    # per-view entry count, bucketed to 256K): the rasterize ops
+    # themselves need a concrete budget.
     k_budget: T.Optional[int] = None  # cap on sorted entries laid out
     max_active_tiles: T.Optional[int] = None  # cap on non-empty tiles
     # forward-path implementation: "xla" (exact reference semantics via
@@ -210,6 +214,19 @@ def preprocess(
 # --------------------------------------------------------------------------
 # binning (rasterizer_impl.cu:70-138, replaced by one lax.sort)
 # --------------------------------------------------------------------------
+
+
+def entry_count(prep: Preprocessed, config: RasterizeConfig):
+    """EXACT number of (splat, tile) entries the emit will produce for this
+    view — the k_budget sizing quantity (same cap-clamped rects, same
+    opacity_radius validity as tile_bin). Gather + sort are linear in
+    k_budget (PERFORMANCE.md), so sizing the budget to the scene instead
+    of a blanket default removes dead stream rows; a budget == this count
+    drops nothing (it is a count, not an estimate)."""
+    area_raw = (prep.rect[:, 2] - prep.rect[:, 0]) * (
+        prep.rect[:, 3] - prep.rect[:, 1])
+    cap = config.max_dup_per_gaussian
+    return jnp.sum(jnp.where(prep.valid, jnp.minimum(area_raw, cap), 0))
 
 
 def tile_bin(prep: Preprocessed, num_tiles: int, grid_x: int, config: RasterizeConfig,

@@ -99,8 +99,16 @@ _TILE_CULL = _os.environ.get("GPCR_TILE_CULL", "0") == "1"
 # the dropped entries differ (depth-tail vs tile-tail) — both warned.
 # ROUND-4 A/B: forcing compact at the bench shape (kb=1.8M vs cap*n=3.2M)
 # measured 66.3 vs 47.3 ms/frame — the fill cumsums/scatters cost far
-# more than the 1.8x-smaller sort saves; the kb*2 <= cap*n auto threshold
-# (learned configs: 7.5M vs 25.6M) is the right gate.
+# more than the 1.8x-smaller sort saves.
+# ROUND-5 A/B at the LEARNED shape (kb=7.5M, cap*n=12.8M — ratio gate
+# off at both shapes): compact 105.1 vs dense 124.5 ms/view
+# (profile_stream_prefix --shape learned): the 12.8M dense sort costs
+# +22 ms that compact removes, while the fill cumsums add only ~7 —
+# at this scale the sort savings dominate; at bench scale (3.2M) they
+# don't. So the auto gate is ratio OR absolute dense-sort size:
+# kb*2 <= cap*n, or cap*n >= 8M entries (the term compact removes —
+# between the measured 3.2M-loses and 11.5M/12.8M-wins shapes; the
+# CLI's deployed learned shape is cap 16 x ~717K voxels = 11.5M).
 _EMIT_COMPACT = _os.environ.get("GPCR_EMIT_COMPACT", "auto")
 # kernel transmittance scan: "two" = two-level (in-vreg 8-sublane scan
 # + cross-vreg group scan on a chunk/8-row array, ~13 VPU ops/element) vs
@@ -355,7 +363,8 @@ def bin_sorted_stream(
     grid_y = num_tiles // grid_x
     compact = (not cull and _EMIT_COMPACT != "0" and win_base is None
                and grid_x <= 255 and grid_y <= 255 and cap <= 255
-               and (_EMIT_COMPACT == "1" or kb * 2 <= k_full))
+               and (_EMIT_COMPACT == "1" or kb * 2 <= k_full
+                    or k_full >= 8_000_000))
     rank_mode = _EMIT_LAYOUT == "rank" and not cull
     # blocked stream gather: needs the rank emit (unique (tile, rank)
     # 2-keys), the packed-rect presort payload, and a table taller than

@@ -331,6 +331,45 @@ def _make_sharded_runner(shard: str, shard_mesh=None):
     return run
 
 
+@functools.partial(jax.jit, static_argnames=("height", "width", "config"))
+def _entry_counts_all_views(view_t, full_t, campos, means, scales,
+                            rotations, opacity, valid, tanfov,
+                            height, width, config):
+    n = means.shape[0]
+
+    def one(a):
+        vt, ft, cp = a
+        settings = R.GaussianRasterizationSettings(
+            height, width, tanfov, tanfov, jnp.zeros(3), 1.0, vt, ft, 0, cp)
+        prep = R.preprocess(means, opacity, settings, config,
+                            scales=scales, rotations=rotations,
+                            colors_precomp=jnp.zeros((n, 1)),
+                            valid_mask=valid)
+        return R.entry_count(prep, config)
+
+    return jax.lax.map(one, (view_t, full_t, campos))
+
+
+def _auto_k_budget(rp, means, scales, rotations, opacity, valid, config,
+                   bucket=262_144):
+    """Size k_budget to THIS scene+trajectory: the max per-view entry
+    count (exact — same rects/validity the emit uses, ops/rasterize.py
+    entry_count), rounded UP to a `bucket` multiple so the render graph
+    recompiles at most once per 256K-entry size class (persistent-cached
+    thereafter). The stream gather and the sort are linear in k_budget,
+    so a blanket default (the old 7.5M) taxes every view of every scene
+    that needs less; an exact-fit budget drops nothing by construction.
+    One extra ~elementwise dispatch per cloud, outside the timed region.
+    """
+    c = _entry_counts_all_views(
+        rp["view_t"], rp["full_t"], rp["campos"], means, scales, rotations,
+        opacity, valid, jnp.asarray(rp["tanfov"]),
+        height=rp["height"], width=rp["width"],
+        config=config._replace(k_budget=None))
+    c = int(np.asarray(c).max())
+    return max(bucket, -(-c // bucket) * bucket)
+
+
 # --------------------------------------------------------------------------
 # SimpleRender (simple_raw_render.py:547-854)
 # --------------------------------------------------------------------------
@@ -432,6 +471,11 @@ class SimpleRender:
             )
         fused = self._shard_runner if self.shard else render_views_fused
 
+        config = self.config
+        if config.k_budget == -1:  # auto: size to this scene+trajectory
+            config = config._replace(k_budget=_auto_k_budget(
+                rp, means, scales, rotations, opacity, valid, config))
+
         def _run():
             return fused(
                 rp["view_t"], rp["full_t"], rp["campos"],
@@ -439,7 +483,7 @@ class SimpleRender:
                 jnp.zeros_like(means), valid, bg3, rp["tanfov"],
                 height=rp["height"], width=rp["width"],
                 out_h=cam.height_px, out_w=cam.width_px,
-                sh_degree=sh_deg, config=self.config, with_normal=False,
+                sh_degree=sh_deg, config=config, with_normal=False,
             )
 
         if self.warm_timing:
@@ -678,6 +722,11 @@ class PCMLRender:
             )
         fused = self._shard_runner if self.shard else render_views_fused
 
+        config = self.config
+        if config.k_budget == -1:  # auto: size to this scene+trajectory
+            config = config._replace(k_budget=_auto_k_budget(
+                rp, means, scales, sp.rotation, opacity, sp.valid, config))
+
         def _run():
             return fused(
                 rp["view_t"], rp["full_t"], rp["campos"],
@@ -685,7 +734,7 @@ class PCMLRender:
                 sp.valid, bg3, rp["tanfov"],
                 height=rp["height"], width=rp["width"],
                 out_h=cam.height_px, out_w=cam.width_px,
-                sh_degree=self.info.sh_deg, config=self.config,
+                sh_degree=self.info.sh_deg, config=config,
                 with_normal=with_normal,
             )
 

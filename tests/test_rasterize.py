@@ -235,6 +235,43 @@ def test_budget_compacted_binning_matches():
     assert int(extra_c["dup_overflow"]) > 0
 
 
+def test_entry_count_exact():
+    """entry_count equals the number of real entries tile_bin emits
+    (starts[-1] with an ample budget) — the auto-k_budget sizing
+    invariant: a budget == the count drops nothing."""
+    W = H = 48
+    means, scales, rots, ops, feats = random_scene(80, seed=11)
+    view_t, full_t, tanfov, campos = make_camera_matrices([0.0, 0.1, -2.5], W, H)
+    settings = R.GaussianRasterizationSettings(
+        image_height=H, image_width=W, tanfovx=tanfov, tanfovy=tanfov,
+        bg=jnp.zeros(3), scale_modifier=1.0,
+        viewmatrix=view_t, projmatrix=full_t, sh_degree=0, campos=campos,
+    )
+    for opr in (False, True):
+        cfg = R.RasterizeConfig(max_dup_per_gaussian=8, chunk_size=32,
+                                k_budget=8192, opacity_radius=opr)
+        prep = R.preprocess(
+            jnp.asarray(means), jnp.asarray(ops), settings, cfg,
+            scales=jnp.asarray(scales), rotations=jnp.asarray(rots),
+            colors_precomp=jnp.asarray(feats),
+        )
+        gx = -(-W // cfg.tile_x)
+        nt = gx * (-(-H // cfg.tile_y))
+        _, starts, ovf = R.tile_bin(prep, nt, gx, cfg)
+        cnt = int(R.entry_count(prep, cfg))
+        assert cnt == int(starts[-1]), (opr, cnt, int(starts[-1]))
+        assert cnt > 0
+        # exact-fit budget: the k_budget term of the overflow is zero
+        # (tile_bin's counter also includes the independent dup-cap term
+        # max(area-cap, 0), so compare against exactly that)
+        area_raw = np.asarray(
+            (prep.rect[:, 2] - prep.rect[:, 0])
+            * (prep.rect[:, 3] - prep.rect[:, 1]))
+        cap_ovf = int(np.where(np.asarray(prep.valid),
+                               np.maximum(area_raw - 8, 0), 0).sum())
+        assert int(ovf) == cap_ovf
+
+
 def test_fd_gradients_full_surface():
     """Finite-difference checks for every input surface the reference
     hand-derives in backward.cu — means3D (:372-383 projection chain +
