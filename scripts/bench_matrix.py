@@ -75,9 +75,13 @@ def run_config(name, n_pts, sf, res_w, res_h, n_views, vpd, seed=0,
     valid = jnp.ones((n,), bool)
     normal = jnp.zeros((n, 3))
 
+    # round-5 kernel defaults: 256-row chunks (halved per-chunk fixed
+    # costs, round 3) and the 1-pass bf16 feature contraction (uint8
+    # protocol, ~4e-3 < 1/255 — see RasterizeConfig.feat_precision)
     config = R.RasterizeConfig(
-        max_dup_per_gaussian=dup_cap, chunk_size=128,
-        k_budget=k_budget, max_active_tiles=max_active, impl="stream")
+        max_dup_per_gaussian=dup_cap, chunk_size=256,
+        k_budget=k_budget, max_active_tiles=max_active, impl="stream",
+        feat_precision="default")
 
     def render(vt, ft, cp):
         return render_views_fused(
