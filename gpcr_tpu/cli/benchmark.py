@@ -145,6 +145,7 @@ def get_pcrender_renders(args):
         warm_timing=True,
         config=_raster_config(args),
         shard=(args.shard if args.shard != "none" else None),
+        kb_sweep=args.kb_sweep,
     )
     camera, cam_info = _camera_for(args, "pcrender")
     input_offset = np.array(args.input_offset.split(","), dtype=np.float32)
@@ -187,6 +188,7 @@ def get_simple_renders(args):
         offset=args.offset, config=_raster_config(args),
         warm_timing=True,
         shard=(args.shard if args.shard != "none" else None),
+        kb_sweep=args.kb_sweep,
     )
     camera, cam_info = _camera_for(args, "simple")
     input_offset = np.array(args.input_offset.split(","), dtype=np.float32)
@@ -292,6 +294,13 @@ def build_parser():
                         "sort are linear in this, so auto beats any "
                         "blanket default); dropped entries are warned "
                         "after the render")
+    p.add_argument("--kb_sweep", type=int, default=0,
+                   help="try this many extra 256K k_budget size classes "
+                        "above the auto/explicit budget and keep the "
+                        "fastest (allocator-lottery sweep — adjacent size "
+                        "classes differ by up to ~2x stream-gather rate; "
+                        "each candidate costs one persistent-cached "
+                        "compile, all before the timed pass)")
     p.add_argument("--feat_f32", action="store_true",
                    help="f32-exact 6-pass feature contraction instead of "
                         "the default 1-pass bf16 (whose ~4e-3 error is "

@@ -370,6 +370,34 @@ def _auto_k_budget(rp, means, scales, rotations, opacity, valid, config,
     return max(bucket, -(-c // bucket) * bucket)
 
 
+def _sweep_k_budget(config, kb0, run_with, sweep, bucket=262_144):
+    """Allocator-lottery sweep over k_budget (the round-5 root-cause
+    finding, PERFORMANCE.md: the stream gather's speed is a DETERMINISTIC
+    function of HBM buffer placement, i.e. of the k_budget size class —
+    adjacent 256K size classes differ by up to ~2x gather rate). Times
+    the REAL fused render graph at kb0 + i*bucket for i in [0, sweep]
+    and returns the fastest budget. Every candidate run happens before
+    the timed pass (the reference's own warmup convention,
+    simple_raw_render.py:372-379); each costs one compile, served by the
+    persistent XLA cache on every later run of the same config."""
+    picks = []
+    best, best_ms = kb0, None
+    for i in range(sweep + 1):
+        kb = kb0 + i * bucket
+        cfg = config._replace(k_budget=kb)
+        _sync(run_with(cfg))  # compile + warm
+        t0 = time.time()
+        _sync(run_with(cfg))
+        ms = (time.time() - t0) * 1e3
+        picks.append((kb, ms))
+        if best_ms is None or ms < best_ms:
+            best, best_ms = kb, ms
+    print("# kb_sweep (ms/run): "
+          + " ".join(f"{k}:{m:.0f}" for k, m in picks)
+          + f" -> k_budget={best}", flush=True)
+    return best
+
+
 # --------------------------------------------------------------------------
 # SimpleRender (simple_raw_render.py:547-854)
 # --------------------------------------------------------------------------
@@ -382,7 +410,9 @@ class SimpleRender:
     def __init__(self, voxelized=True, scale_factor=None, offset=512,
                  config: R.RasterizeConfig = R.RasterizeConfig(),
                  warm_timing: bool = False,
-                 shard: T.Optional[str] = None, shard_mesh=None):
+                 shard: T.Optional[str] = None, shard_mesh=None,
+                 kb_sweep: int = 0):
+        self.kb_sweep = kb_sweep
         self.voxelized = voxelized
         self.scale_factor = 1.0 if scale_factor is None else scale_factor
         self.offset = offset
@@ -476,15 +506,20 @@ class SimpleRender:
             config = config._replace(k_budget=_auto_k_budget(
                 rp, means, scales, rotations, opacity, valid, config))
 
-        def _run():
+        def _run_with(cfg):
             return fused(
                 rp["view_t"], rp["full_t"], rp["campos"],
                 means, scales, rotations, opacity, shs,
                 jnp.zeros_like(means), valid, bg3, rp["tanfov"],
                 height=rp["height"], width=rp["width"],
                 out_h=cam.height_px, out_w=cam.width_px,
-                sh_degree=sh_deg, config=config, with_normal=False,
+                sh_degree=sh_deg, config=cfg, with_normal=False,
             )
+
+        if self.kb_sweep and config.k_budget:
+            config = config._replace(k_budget=_sweep_k_budget(
+                config, config.k_budget, _run_with, self.kb_sweep))
+        _run = functools.partial(_run_with, config)
 
         if self.warm_timing:
             _sync(_run())  # compile + warm, excluded from the timing
@@ -547,9 +582,13 @@ class PCMLRender:
         config: R.RasterizeConfig = R.RasterizeConfig(),
         compute_dtype=None, warm_timing: bool = False,
         shard: T.Optional[str] = None, shard_mesh=None,
+        kb_sweep: int = 0,
     ):
         self.shard = shard
         self.shard_mesh = shard_mesh
+        # >0: try that many extra 256K k_budget size classes above the
+        # auto-sized budget and keep the fastest (_sweep_k_budget)
+        self.kb_sweep = kb_sweep
         if ckpt is not None:
             self.params, info = load_pcml(ckpt)
         else:
@@ -727,16 +766,21 @@ class PCMLRender:
             config = config._replace(k_budget=_auto_k_budget(
                 rp, means, scales, sp.rotation, opacity, sp.valid, config))
 
-        def _run():
+        def _run_with(cfg):
             return fused(
                 rp["view_t"], rp["full_t"], rp["campos"],
                 means, scales, sp.rotation, opacity, sp.sh, normal,
                 sp.valid, bg3, rp["tanfov"],
                 height=rp["height"], width=rp["width"],
                 out_h=cam.height_px, out_w=cam.width_px,
-                sh_degree=self.info.sh_deg, config=config,
+                sh_degree=self.info.sh_deg, config=cfg,
                 with_normal=with_normal,
             )
+
+        if self.kb_sweep and config.k_budget:
+            config = config._replace(k_budget=_sweep_k_budget(
+                config, config.k_budget, _run_with, self.kb_sweep))
+        _run = functools.partial(_run_with, config)
 
         if self.warm_timing:
             _sync(_run())

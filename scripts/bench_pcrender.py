@@ -75,7 +75,8 @@ def main():
                        cwd=os.path.dirname(os.path.dirname(
                            os.path.abspath(__file__))))
     for line in r.stdout.splitlines():
-        if "time" in line or "Info" in line or "Warn" in line:
+        if ("time" in line or "Info" in line or "Warn" in line
+                or line.startswith("#")):
             print(line)
     if r.returncode != 0:
         print(r.stderr[-3000:])

@@ -211,3 +211,29 @@ def test_simple_render_batched():
     np.testing.assert_allclose(
         np.asarray(out["rgb"][0]), np.asarray(solo["rgb"][0]), atol=1e-6
     )
+
+
+def test_kb_sweep_picks_fastest_candidate(capsys):
+    """_sweep_k_budget tries kb0 + i*bucket for i in [0, sweep], times the
+    real run callable, and returns the fastest candidate (the allocator-
+    lottery sweep; PERFORMANCE.md round-5 root-cause)."""
+    import time as _time
+
+    from gpcr_tpu.ops.rasterize import RasterizeConfig
+    from gpcr_tpu.render.renderer import _sweep_k_budget
+
+    seen = []
+    # second candidate (kb0 + 100) is the fast one
+    cost = {1000: 0.01, 1100: 0.0, 1200: 0.02}
+
+    def run_with(cfg):
+        seen.append(cfg.k_budget)
+        _time.sleep(cost[cfg.k_budget])
+        return np.zeros(())
+
+    cfg = RasterizeConfig(k_budget=1000)
+    best = _sweep_k_budget(cfg, 1000, run_with, sweep=2, bucket=100)
+    assert best == 1100
+    # each candidate ran twice: once to compile+warm, once timed
+    assert seen == [1000, 1000, 1100, 1100, 1200, 1200]
+    assert "kb_sweep" in capsys.readouterr().out
