@@ -151,6 +151,17 @@ _FEAT_PRECISION = _os.environ.get("GPCR_FEAT_PRECISION", "highest")
 # ~455 M rows/s). Costs two extra 800K sorts + one narrow index map;
 # exact up to a window-overflow guard counted into `overflow`.
 _STREAM_GATHER = _os.environ.get("GPCR_STREAM_GATHER", "global")
+# Packed-table lane width. 0 (default) = narrow-auto: pad the 8 + C + 4
+# used columns to the next multiple of 8. The original layout padded to
+# 128 lanes (512 B rows) on the assumption that 512 B was the fastest
+# gather granule, but the round-5 width sweep
+# (scripts/microbench_gather_width.py) shows the row gather is strongly
+# BYTE-driven: at 800K rows / 1.8M indices a 24-lane table gathers
+# ~1.4-1.5x faster than the 128-lane one and a 16-lane one ~1.7x
+# (reproduced twice, same process). Narrow also cuts the table-build
+# write 5-8x and the kernel's per-chunk DMA bytes. GPCR_STREAM_NCOLS=128
+# restores the old layout.
+_STREAM_NCOLS = int(_os.environ.get("GPCR_STREAM_NCOLS", "0"))
 _STREAM_WINDOW = int(_os.environ.get("GPCR_STREAM_WINDOW", "98304"))
 _STREAM_BLOCK = int(_os.environ.get("GPCR_STREAM_BLOCK", "131072"))
 
@@ -326,9 +337,9 @@ def bin_sorted_stream(
         return (gidx_s + rminx_s + rmaxy_s + valid_si,
                 rminy_s, jnp.int32(0), jnp.int32(0))
 
-    # 2. packed per-gaussian rows (original order, one narrow concat + one
-    # pad to 128 lanes — Mosaic DMA slices the lane dim at 128 granularity,
-    # and 512 B rows are also the fastest gather granule on this chip).
+    # 2. packed per-gaussian rows (original order, one narrow concat +
+    # lane pad; GPCR_STREAM_NCOLS above for the width policy — narrow
+    # beat the original 128-lane/512 B rows by the width-sweep law).
     # Row layout: [x y conic3 op depth 0 | feat(C) | rect(4) | 0-pad].
     # The kernel's feature slice 8:8+c_out may overlap the rect cols; those
     # land in acc rows that are either sliced off (> channels) or
@@ -346,8 +357,12 @@ def bin_sorted_stream(
         ],
         axis=-1,
     ).astype(jnp.float32)
-    # +1 sentinel row (opacity 0 -> inert), pad lanes to 128
-    packed = jnp.pad(packed, ((0, 1), (0, 128 - packed.shape[1])))
+    # +1 sentinel row (opacity 0 -> inert), pad lanes to the table width.
+    # The kernel's feature slice is 8:8+c_out (c_out = channels + 1), so
+    # the width floor is 8 + c_out even when that exceeds the 12 + C used
+    # columns (it never does: rect(4) > the 1-col overlap).
+    ncols = _STREAM_NCOLS or -(-max(packed.shape[1], 16) // 8) * 8
+    packed = jnp.pad(packed, ((0, 1), (0, ncols - packed.shape[1])))
     if _STREAM_BARRIER:
         packed = jax.lax.optimization_barrier(packed)
     if stage == "packed":
